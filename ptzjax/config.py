@@ -1,0 +1,77 @@
+"""Single dataclass config for the whole engine (SURVEY.md §7: the reference
+hard-codes thresholds in scripts; we centralize them)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class SLAMConfig:
+    """All tunable thresholds and capacities.
+
+    Capacities are static so every jitted computation has fixed shapes
+    (SURVEY.md §10 "hard parts": fixed capacities + masks).
+    """
+
+    # --- image / detector ---
+    image_width: int = 1280
+    image_height: int = 720
+    max_keypoints: int = 512          # per-frame detector cap (padded table)
+    detector_threshold: float = 0.01  # Harris/DoG response floor
+    nms_cell: int = 16                # grid NMS cell size (pixels)
+
+    # --- matching ---
+    ratio_test: float = 0.8           # Lowe ratio (squared-distance form used)
+    max_matches: int = 512
+    ransac_iters: int = 128
+    ransac_inlier_px: float = 3.0
+
+    # --- EKF (SURVEY.md §8.3) ---
+    max_rays: int = 256               # N_max tracked rays in the EKF state
+    dt: float = 1.0                   # frame interval (state velocities per-frame)
+    sigma_pan: float = 0.001          # process noise std (rad / frame^2)
+    sigma_tilt: float = 0.001
+    sigma_focal: float = 1.0          # pixels / frame^2
+    sigma_obs: float = 1.0            # measurement noise std (pixels)
+    init_ray_std: float = 0.02        # new-ray covariance inflation (rad)
+    init_vel_std: float = 0.01
+    min_inliers: int = 12             # below this => tracking lost
+    innovation_gate_px: float = 12.0  # reject matches with larger innovation
+
+    # --- keyframes / map ---
+    max_keyframes: int = 64
+    max_map_rays: int = 4096
+    keyframe_overlap: float = 0.55    # insert keyframe when view overlap drops
+    kf_desc_dim: int = 128
+
+    # --- bundle adjustment (SURVEY.md §8.4) ---
+    ba_iters: int = 20
+    ba_lambda0: float = 1e-3
+    ba_lambda_up: float = 4.0
+    ba_lambda_down: float = 0.5
+    ba_focal_scale: float = 1e-3      # parameter scaling: f * scale ~ O(1)
+    ba_tol: float = 1e-8
+
+    # --- relocalization ---
+    reloc_min_matches: int = 10
+    reloc_iters: int = 20
+
+    # --- distributed ---
+    mesh_shape: tuple = (1,)
+    mesh_axis: str = "obs"
+
+    def replace(self, **kw: Any) -> "SLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "SLAMConfig":
+        d = json.loads(s)
+        if "mesh_shape" in d:
+            d["mesh_shape"] = tuple(d["mesh_shape"])
+        return SLAMConfig(**d)
