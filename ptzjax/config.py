@@ -36,10 +36,12 @@ class SLAMConfig:
     sigma_tilt: float = 0.001
     sigma_focal: float = 1.0          # pixels / frame^2
     sigma_obs: float = 1.0            # measurement noise std (pixels)
-    init_ray_std: float = 0.02        # new-ray covariance inflation (rad)
+    init_ray_std: float = 5e-4        # extra new-ray prior std (rad) on top of
+                                      # the propagated pose+pixel covariance
     init_vel_std: float = 0.01
     min_inliers: int = 12             # below this => tracking lost
     innovation_gate_px: float = 12.0  # reject matches with larger innovation
+    max_missed: int = 10              # frames unobserved before a slot is freed
 
     # --- keyframes / map ---
     max_keyframes: int = 64

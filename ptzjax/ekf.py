@@ -1,0 +1,347 @@
+"""MonoSLAM-style EKF over the PTZ camera with joint ray landmarks.
+
+TPU-native redesign of the reference's per-frame tracking filter (reference:
+``slam_system/ptz_slam.py`` EKF — SURVEY.md §4.2, §8.3). The reference grows
+and shrinks its state/covariance dynamically in NumPy; on TPU everything is a
+fixed-capacity padded state (N_max ray slots + validity masks) so the whole
+predict/update/lifecycle step is one jitted, static-shape computation, and a
+full sequence runs as a single ``lax.scan``.
+
+State layout (SURVEY.md §8.3):
+    x = (pan, tilt, f, d_pan, d_tilt, d_f, theta_1, phi_1, ..., theta_N, phi_N)
+with dense covariance P of size (6 + 2N)^2. For N=256 the heavy ops are
+~518x518 matmuls and a 512x512 Cholesky — small enough to live in VMEM and
+run entirely on-chip every frame.
+
+Masking convention: slot i inactive or unobserved => its H rows are zeroed and
+its innovation zeroed, so the Kalman update is exactly the update of the
+observed subproblem; inactive P blocks are kept at identity to stay
+well-conditioned.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from functools import partial
+
+from ptzjax.config import SLAMConfig
+from ptzjax.geometry import Intrinsics, back_project_pixels, project_jacobians
+
+# Covariance algebra must run at true fp32: TPU's default matmul precision is
+# bf16, which destroys the SPD structure of S = H P H^T + R and NaNs the
+# Cholesky (observed on v5e; CPU was fine). HIGHEST = 6-pass bf16 ~ fp32.
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+
+class EKFState(NamedTuple):
+    """Padded EKF state. N = ray-slot capacity; dim D = 6 + 2N.
+
+    Attributes:
+      cam: (6,) pan, tilt, f, and their per-frame velocities.
+      rays: (N, 2) slot ray angles (theta, phi); garbage where inactive.
+      cov: (D, D) joint covariance.
+      active: (N,) bool slot validity.
+      missed: (N,) int32 consecutive frames without an observation.
+      ray_ids: (N,) int32 global map ray id per slot (-1 = empty).
+    """
+
+    cam: jax.Array
+    rays: jax.Array
+    cov: jax.Array
+    active: jax.Array
+    missed: jax.Array
+    ray_ids: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.rays.shape[0]
+
+    @property
+    def pose(self) -> jax.Array:
+        """(pan, tilt, f) 3-vector."""
+        return self.cam[:3]
+
+
+def init_state(pose: jax.Array, cfg: SLAMConfig) -> EKFState:
+    """Fresh state around a known initial pose (SURVEY.md §4.1)."""
+    n = cfg.max_rays
+    d = 6 + 2 * n
+    cam = jnp.concatenate([jnp.asarray(pose, jnp.float32), jnp.zeros(3, jnp.float32)])
+    p0 = jnp.eye(d, dtype=jnp.float32)
+    # camera starts exactly known (GT init, like the reference's first frame);
+    # tiny diagonal keeps Cholesky happy. Velocities get the init prior.
+    diag = jnp.concatenate(
+        [
+            jnp.full((3,), 1e-6, jnp.float32),
+            jnp.full((3,), cfg.init_vel_std**2, jnp.float32),
+            jnp.ones((2 * n,), jnp.float32),
+        ]
+    )
+    return EKFState(
+        cam=cam,
+        rays=jnp.zeros((n, 2), jnp.float32),
+        cov=p0 * diag,
+        active=jnp.zeros((n,), bool),
+        missed=jnp.zeros((n,), jnp.int32),
+        ray_ids=jnp.full((n,), -1, jnp.int32),
+    )
+
+
+def _process_noise(n: int, cfg: SLAMConfig) -> jax.Array:
+    d = 6 + 2 * n
+    q = jnp.zeros((d,), jnp.float32)
+    accel = jnp.array(
+        [cfg.sigma_pan**2, cfg.sigma_tilt**2, cfg.sigma_focal**2], jnp.float32
+    )
+    # constant-velocity model driven by per-frame acceleration noise:
+    # position picks up dt^2/4..dt^2 terms; keep the standard diagonal approx.
+    q = q.at[0:3].set(accel * cfg.dt**2)
+    q = q.at[3:6].set(accel)
+    return jnp.diag(q)
+
+
+def predict(state: EKFState, cfg: SLAMConfig) -> EKFState:
+    """Constant-velocity predict; rays are static (SURVEY.md §8.3)."""
+    n = state.capacity
+    d = 6 + 2 * n
+    cam = state.cam.at[0:3].add(cfg.dt * state.cam[3:6])
+    # F = I with dt coupling on the camera block. Apply structurally instead
+    # of building F: rows/cols 0:3 pick up dt * rows/cols 3:6.
+    p = state.cov
+    p = p.at[0:3, :].add(cfg.dt * p[3:6, :])
+    p = p.at[:, 0:3].add(cfg.dt * p[:, 3:6])
+    p = p + _process_noise(n, cfg)
+    return state._replace(cam=cam, cov=p)
+
+
+class UpdateStats(NamedTuple):
+    num_used: jax.Array       # observations that passed gating
+    num_observed: jax.Array   # observations offered (active slot + valid)
+    innovation_rms: jax.Array # gated-innovation RMS in pixels
+    lost: jax.Array           # bool: too few inliers => tracking lost
+
+
+def update(
+    state: EKFState,
+    obs: jax.Array,
+    obs_mask: jax.Array,
+    intr: Intrinsics,
+    cfg: SLAMConfig,
+) -> tuple[EKFState, UpdateStats]:
+    """Joint EKF measurement update from slot-aligned pixel observations.
+
+    Args:
+      obs: (N, 2) measured pixel positions, aligned to ray slots.
+      obs_mask: (N,) bool — slot observed this frame.
+
+    Returns:
+      Updated state and per-frame statistics (SURVEY.md §4.2: lost detection
+      by inlier count).
+    """
+    n = state.capacity
+    d = 6 + 2 * n
+    pose = state.cam[:3]
+    offered = obs_mask & state.active
+
+    pred_pix, j_cam, j_ray = project_jacobians(pose, state.rays, intr)
+    innov = obs - pred_pix  # (N, 2)
+
+    # innovation gate: reject wild matches (outliers / bad association)
+    gate_ok = jnp.linalg.norm(innov, axis=-1) < cfg.innovation_gate_px
+    used = offered & gate_ok
+    used_f = used.astype(jnp.float32)[:, None]           # (N, 1)
+    innov = jnp.where(used[:, None], innov, 0.0)
+
+    # Build H (2N, D): camera block + block-diagonal ray block, masked rows.
+    j_cam = j_cam * used_f[..., None]
+    j_ray = j_ray * used_f[..., None]
+    h = jnp.zeros((2 * n, d), jnp.float32)
+    h = h.at[:, 0:3].set(j_cam.reshape(2 * n, 3))
+    rows = jnp.arange(n)
+    r_idx = (2 * rows[:, None, None] + jnp.arange(2)[None, :, None])
+    c_idx = (6 + 2 * rows[:, None, None] + jnp.arange(2)[None, None, :])
+    r_idx = jnp.broadcast_to(r_idx, (n, 2, 2))
+    c_idx = jnp.broadcast_to(c_idx, (n, 2, 2))
+    h = h.at[r_idx, c_idx].set(j_ray)
+
+    r_diag = jnp.full((2 * n,), cfg.sigma_obs**2, jnp.float32)
+    ph_t = _mm(state.cov, h.T)                           # (D, 2N)
+    s = _mm(h, ph_t) + jnp.diag(r_diag)                  # (2N, 2N)
+    # Solve S X = (P H^T)^T via Cholesky; K = X^T.
+    chol = jax.scipy.linalg.cho_factor(s, lower=True)
+    k = jax.scipy.linalg.cho_solve(chol, ph_t.T).T       # (D, 2N)
+
+    dx = k @ innov.reshape(-1)
+    cam = state.cam + dx[:6]
+    rays = state.rays + dx[6:].reshape(n, 2)
+
+    # Joseph-form covariance update for fp32 stability.
+    ikh = jnp.eye(d, dtype=jnp.float32) - _mm(k, h)
+    cov = _mm(_mm(ikh, state.cov), ikh.T) + _mm(k * r_diag[None, :], k.T)
+    cov = 0.5 * (cov + cov.T)
+
+    num_used = used.sum()
+    num_obs = offered.sum()
+    rms = jnp.sqrt(
+        jnp.sum(innov**2) / jnp.maximum(1.0, 2.0 * num_used.astype(jnp.float32))
+    )
+    stats = UpdateStats(
+        num_used=num_used,
+        num_observed=num_obs,
+        innovation_rms=rms,
+        lost=num_used < cfg.min_inliers,
+    )
+    missed = jnp.where(used, 0, state.missed + state.active.astype(jnp.int32))
+    return state._replace(cam=cam, rays=rays, cov=cov, missed=missed), stats
+
+
+def retire_lost(state: EKFState, cfg: SLAMConfig) -> EKFState:
+    """Free slots unobserved for too long (reference: ray deletion, §4.2)."""
+    drop = state.active & (state.missed > cfg.max_missed)
+    return _clear_slots(state, drop)
+
+
+def _clear_slots(state: EKFState, drop: jax.Array) -> EKFState:
+    n = state.capacity
+    keep = ~drop
+    active = state.active & keep
+    ray_ids = jnp.where(keep, state.ray_ids, -1)
+    # reset dropped slots' covariance to identity, zero cross terms
+    slot_rows = jnp.repeat(drop, 2)                      # (2N,) aligned to ray block
+    full = jnp.concatenate([jnp.zeros((6,), bool), slot_rows])
+    cov = jnp.where(full[:, None] | full[None, :], 0.0, state.cov)
+    cov = cov + jnp.diag(jnp.where(full, 1.0, 0.0))
+    return state._replace(active=active, ray_ids=ray_ids, cov=cov, missed=jnp.where(keep, state.missed, 0))
+
+
+def insert_rays(
+    state: EKFState,
+    pixels: jax.Array,
+    cand_mask: jax.Array,
+    cand_ids: jax.Array,
+    intr: Intrinsics,
+    cfg: SLAMConfig,
+) -> EKFState:
+    """Back-project fresh keypoints into free slots (SURVEY.md §4.2).
+
+    MonoSLAM-style state augmentation: the new ray is g(pose, pixel), so its
+    covariance is G_c P_cc G_c^T + G_p R G_p^T with full cross-covariance
+    G_c P_c,* against the existing state (including other rays inserted in
+    the same call). Without this, new-ray uncertainty is uncorrelated with
+    the camera and the filter can silently absorb pose error into the map
+    (observed as a locked-in focal-length bias on noiseless data).
+
+    Args:
+      pixels: (K, 2) candidate keypoint positions.
+      cand_mask: (K,) bool — candidate is real.
+      cand_ids: (K,) int32 global ray ids to record.
+    """
+    n = state.capacity
+    k = pixels.shape[0]
+    d = 6 + 2 * n
+    pose = state.cam[:3]
+    new_rays = back_project_pixels(pose, pixels, intr)   # (K, 2)
+
+    # Jacobians of g(pose, pixel) via autodiff (exact; insertion is not hot).
+    def g(c, px):
+        return back_project_pixels(c, px[None, :], intr)[0]
+
+    g_cam = jax.vmap(jax.jacfwd(g, argnums=0), (None, 0))(pose, pixels)  # (K,2,3)
+    g_pix = jax.vmap(jax.jacfwd(g, argnums=1), (None, 0))(pose, pixels)  # (K,2,2)
+
+    # rank free slots and candidates; candidate j -> j-th free slot
+    free = ~state.active
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1   # rank among free slots
+    cand_rank = jnp.cumsum(cand_mask.astype(jnp.int32)) - 1
+    num_free = free.sum()
+    cand_ok = cand_mask & (cand_rank < num_free)
+
+    # slot index for each accepted candidate: position of free slot with
+    # rank == cand_rank. Build mapping free_rank -> slot index.
+    slot_of_rank = jnp.full((n,), n, jnp.int32)
+    slot_of_rank = slot_of_rank.at[jnp.where(free, free_rank, n)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    target = jnp.where(cand_ok, slot_of_rank[jnp.clip(cand_rank, 0, n - 1)], n)
+
+    rays = state.rays.at[target].set(new_rays, mode="drop")
+    active = state.active.at[target].set(True, mode="drop")
+    ray_ids = state.ray_ids.at[target].set(cand_ids, mode="drop")
+    missed = state.missed.at[target].set(0, mode="drop")
+
+    # --- covariance augmentation ---
+    # 1) reset the claimed slots' rows/cols (stale identity blocks).
+    newly = jnp.zeros((n,), bool).at[target].set(True, mode="drop")
+    slot_rows = jnp.repeat(newly, 2)
+    full = jnp.concatenate([jnp.zeros((6,), bool), slot_rows])
+    cov = jnp.where(full[:, None] | full[None, :], 0.0, state.cov)
+
+    # 2) cross-covariance of new rays vs the whole (cleared) state:
+    #    P_new,* = G_c P_pose,*   (velocity/pixel terms have zero Jacobian).
+    hi = jax.lax.Precision.HIGHEST
+    cross = jnp.einsum("kab,bD->kaD", g_cam, cov[0:3, :], precision=hi)  # (K,2,D)
+    # 3) new-new blocks: G_ci P_cc G_cj^T + delta_ij G_p R G_p^T.
+    pcc = state.cov[0:3, 0:3]
+    gc_p = jnp.einsum("kab,bc->kac", g_cam, pcc, precision=hi)           # (K,2,3)
+    blocks = jnp.einsum("kac,ldc->kald", gc_p, g_cam, precision=hi)      # (K,2,K,2)
+    pix_noise = cfg.sigma_obs**2 * jnp.einsum(
+        "kab,kcb->kac", g_pix, g_pix, precision=hi
+    )
+    # extra diagonal prior keeps newly inserted rays from being overconfident
+    prior = (cfg.init_ray_std**2) * jnp.eye(2, dtype=jnp.float32)
+    eye_k = jnp.eye(k, dtype=jnp.float32)
+    blocks = blocks + eye_k[:, None, :, None] * (pix_noise + prior)[:, :, None, :]
+
+    # scatter: row index of new-ray row a of candidate j is 6 + 2*target_j + a;
+    # rejected candidates get an out-of-range index and are dropped.
+    row_idx = jnp.where(
+        cand_ok[:, None], 6 + 2 * target[:, None] + jnp.arange(2)[None, :], d
+    ).reshape(-1)                                                # (2K,)
+    cov = cov.at[row_idx, :].set(cross.reshape(2 * k, d), mode="drop")
+    cov = cov.at[:, row_idx].set(cross.reshape(2 * k, d).T, mode="drop")
+    cov = cov.at[row_idx[:, None], row_idx[None, :]].set(
+        blocks.reshape(2 * k, 2 * k), mode="drop"
+    )
+    return state._replace(
+        rays=rays, active=active, ray_ids=ray_ids, missed=missed, cov=cov
+    )
+
+
+def step(
+    state: EKFState,
+    obs: jax.Array,
+    obs_mask: jax.Array,
+    intr: Intrinsics,
+    cfg: SLAMConfig,
+) -> tuple[EKFState, UpdateStats]:
+    """predict + update; jit-friendly single-frame step."""
+    state = predict(state, cfg)
+    return update(state, obs, obs_mask, intr, cfg)
+
+
+def scan_track(
+    state: EKFState,
+    obs_seq: jax.Array,
+    mask_seq: jax.Array,
+    intr: Intrinsics,
+    cfg: SLAMConfig,
+) -> tuple[EKFState, tuple[jax.Array, UpdateStats]]:
+    """Track a whole sequence of slot-aligned observations with lax.scan.
+
+    Args:
+      obs_seq: (T, N, 2), mask_seq: (T, N).
+
+    Returns:
+      (final_state, (poses (T, 3), stats)).
+    """
+
+    def body(s, frame):
+        o, m = frame
+        s, st = step(s, o, m, intr, cfg)
+        return s, (s.pose, st)
+
+    return jax.lax.scan(body, state, (obs_seq, mask_seq))

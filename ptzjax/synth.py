@@ -1,0 +1,186 @@
+"""Synthetic PTZ sequence generator — the permanent end-to-end oracle.
+
+TPU-native analogue of the reference's ``synthesized/`` court-model
+experiments (SURVEY.md §3, §6 item 2): known ground-truth (pan, tilt, focal)
+trajectories over a fixed ray field, rendered to noisy keypoint observations,
+so the full SLAM loop can be tested without the reference datasets.
+
+Data generation is host-side NumPy (not a hot path); outputs are fp32 arrays
+ready for device transfer.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ptzjax.geometry import Intrinsics
+
+
+class SyntheticSequence(NamedTuple):
+    """Ground truth for a synthetic broadcast sequence.
+
+    Attributes:
+      cameras: (T, 3) fp32 GT (pan, tilt, focal) per frame (radians, pixels).
+      rays: (M, 2) fp32 GT landmark rays (theta, phi).
+      descriptors: (M, D) fp32 unit-norm per-ray descriptors (stable identity
+        for matching/relocalization tests).
+      intr: shared intrinsics.
+      width, height: image size in pixels.
+    """
+
+    cameras: np.ndarray
+    rays: np.ndarray
+    descriptors: np.ndarray
+    intr: Intrinsics
+    width: float
+    height: float
+
+
+def make_trajectory(
+    num_frames: int,
+    pan0: float = 0.0,
+    pan_amp: float = 0.35,
+    tilt0: float = -0.08,
+    tilt_amp: float = 0.04,
+    f0: float = 2500.0,
+    f_amp: float = 600.0,
+    period: float = 240.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Smooth pan sweep + slow zoom, like a broadcast camera following play."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(num_frames, dtype=np.float64)
+    # a couple of incommensurate sinusoids => smooth, non-repeating motion
+    pan = pan0 + pan_amp * (
+        np.sin(2 * np.pi * t / period) + 0.3 * np.sin(2 * np.pi * t / (period * 0.37) + 1.0)
+    )
+    tilt = tilt0 + tilt_amp * np.sin(2 * np.pi * t / (period * 1.7) + 0.5)
+    f = f0 + f_amp * np.sin(2 * np.pi * t / (period * 2.3) + rng.uniform(0, 2 * np.pi))
+    return np.stack([pan, tilt, f], axis=-1).astype(np.float32)
+
+
+def make_ray_field(
+    num_rays: int,
+    pan_range: tuple[float, float] = (-0.8, 0.8),
+    tilt_range: tuple[float, float] = (-0.25, 0.1),
+    descriptor_dim: int = 128,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Static scene rays (stands/court texture) + stable unit descriptors."""
+    rng = np.random.default_rng(seed + 1)
+    rays = np.stack(
+        [
+            rng.uniform(*pan_range, num_rays),
+            rng.uniform(*tilt_range, num_rays),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    desc = rng.normal(size=(num_rays, descriptor_dim)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    return rays, desc
+
+
+def make_sequence(
+    num_frames: int = 300,
+    num_rays: int = 2000,
+    width: float = 1280.0,
+    height: float = 720.0,
+    cx: float | None = None,
+    cy: float | None = None,
+    seed: int = 0,
+    **traj_kw,
+) -> SyntheticSequence:
+    cx = width / 2 if cx is None else cx
+    cy = height / 2 if cy is None else cy
+    cameras = make_trajectory(num_frames, seed=seed, **traj_kw)
+    rays, desc = make_ray_field(num_rays, seed=seed)
+    intr = Intrinsics.create(cx, cy)
+    return SyntheticSequence(cameras, rays, desc, intr, width, height)
+
+
+def _project_np(camera, rays, cx, cy):
+    u = rays[:, 0] - camera[0]
+    v = rays[:, 1] - camera[1]
+    x = camera[2] * np.tan(u) + cx
+    y = -camera[2] * np.tan(v) / np.cos(u) + cy
+    return np.stack([x, y], axis=-1)
+
+
+def render_frame(
+    seq: SyntheticSequence,
+    frame: int,
+    noise_px: float = 0.5,
+    outlier_frac: float = 0.0,
+    dropout_frac: float = 0.0,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Render one frame's observations.
+
+    Returns:
+      (pixels, visible, ray_ids): pixels (V, 2) noisy keypoint positions for
+      the V visible rays, visible (M,) bool over the full ray field, ray_ids
+      (V,) indices into seq.rays. Outliers are visible points teleported
+      uniformly in the image; dropouts remove visible points at random.
+    """
+    rng = np.random.default_rng((seed + 7919) * 100003 + frame)
+    cam = seq.cameras[frame].astype(np.float64)
+    cx = float(seq.intr.cx)
+    cy = float(seq.intr.cy)
+    pix = _project_np(cam, seq.rays.astype(np.float64), cx, cy)
+    u = np.abs(seq.rays[:, 0] - cam[0])
+    v = np.abs(seq.rays[:, 1] - cam[1])
+    visible = (
+        (pix[:, 0] >= 0)
+        & (pix[:, 0] < seq.width)
+        & (pix[:, 1] >= 0)
+        & (pix[:, 1] < seq.height)
+        & (u < 1.2)
+        & (v < 1.2)
+    )
+    if dropout_frac > 0:
+        visible &= rng.random(len(visible)) >= dropout_frac
+    ids = np.nonzero(visible)[0]
+    obs = pix[ids] + rng.normal(scale=noise_px, size=(len(ids), 2))
+    if outlier_frac > 0:
+        bad = rng.random(len(ids)) < outlier_frac
+        obs[bad, 0] = rng.uniform(0, seq.width, bad.sum())
+        obs[bad, 1] = rng.uniform(0, seq.height, bad.sum())
+    return obs.astype(np.float32), visible, ids.astype(np.int32)
+
+
+def render_sequence_padded(
+    seq: SyntheticSequence,
+    max_obs: int,
+    noise_px: float = 0.5,
+    outlier_frac: float = 0.0,
+    dropout_frac: float = 0.0,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Render every frame into fixed-capacity padded tables (TPU-friendly).
+
+    Returns:
+      pixels: (T, max_obs, 2), ray_ids: (T, max_obs) int32 (-1 padding),
+      valid: (T, max_obs) bool. If a frame sees more than max_obs rays a
+      random subset is kept (deterministic per seed).
+    """
+    T = len(seq.cameras)
+    pixels = np.zeros((T, max_obs, 2), np.float32)
+    ray_ids = np.full((T, max_obs), -1, np.int32)
+    valid = np.zeros((T, max_obs), bool)
+    for k in range(T):
+        obs, _, ids = render_frame(
+            seq, k, noise_px=noise_px, outlier_frac=outlier_frac,
+            dropout_frac=dropout_frac, seed=seed,
+        )
+        n = len(ids)
+        if n > max_obs:
+            sel = np.random.default_rng(seed * 31 + k).choice(n, max_obs, replace=False)
+            sel.sort()
+            obs, ids = obs[sel], ids[sel]
+            n = max_obs
+        pixels[k, :n] = obs
+        ray_ids[k, :n] = ids
+        valid[k, :n] = True
+    return pixels, ray_ids, valid
