@@ -15,5 +15,6 @@ from ptzjax.geometry import (
     rays_from_points,
     residuals,
 )
+from ptzjax.slam import PTZSlam, SlamState, FrameInfo, info_to_dict
 
 __version__ = "0.1.0"

@@ -38,9 +38,12 @@ class SLAMConfig:
     sigma_obs: float = 1.0            # measurement noise std (pixels)
     init_ray_std: float = 5e-4        # extra new-ray prior std (rad) on top of
                                       # the propagated pose+pixel covariance
-    init_vel_std: float = 0.01
+    init_vel_std: float = 0.01        # pan/tilt velocity prior std (rad/frame)
+    init_vel_std_f: float = 8.0       # focal velocity prior std (px/frame)
     min_inliers: int = 12             # below this => tracking lost
-    innovation_gate_px: float = 12.0  # reject matches with larger innovation
+    gate_maha2: float = 9.21          # chi2(2, 0.99) Mahalanobis innovation gate
+    innovation_gate_px: float = 50.0  # absolute innovation ceiling (outliers)
+    track_gate_px: float = 60.0       # association search radius (tracking)
     max_missed: int = 10              # frames unobserved before a slot is freed
 
     # --- keyframes / map ---

@@ -77,7 +77,10 @@ def init_state(pose: jax.Array, cfg: SLAMConfig) -> EKFState:
     diag = jnp.concatenate(
         [
             jnp.full((3,), 1e-6, jnp.float32),
-            jnp.full((3,), cfg.init_vel_std**2, jnp.float32),
+            jnp.array(
+                [cfg.init_vel_std**2, cfg.init_vel_std**2, cfg.init_vel_std_f**2],
+                jnp.float32,
+            ),
             jnp.ones((2 * n,), jnp.float32),
         ]
     )
@@ -150,8 +153,30 @@ def update(
     pred_pix, j_cam, j_ray = project_jacobians(pose, state.rays, intr)
     innov = obs - pred_pix  # (N, 2)
 
-    # innovation gate: reject wild matches (outliers / bad association)
-    gate_ok = jnp.linalg.norm(innov, axis=-1) < cfg.innovation_gate_px
+    # Mahalanobis innovation gate against the *predicted* per-slot innovation
+    # covariance S_i = J P J^T + R (2x2). This admits large pixel innovations
+    # while the velocity is still uncertain (right after init/reloc) and
+    # tightens as the filter converges; a fixed pixel gate deadlocks with
+    # constant-velocity startup (lost -> reloc -> zero velocity -> lost).
+    hi = jax.lax.Precision.HIGHEST
+    p_cc = state.cov[0:3, 0:3]
+    p_cr = state.cov[0:3, 6:].reshape(3, n, 2)
+    p_rr = state.cov[6:, 6:].reshape(n, 2, n, 2)[
+        jnp.arange(n), :, jnp.arange(n), :
+    ]                                                       # (N,2,2)
+    s1 = jnp.einsum("nac,cd,nbd->nab", j_cam, p_cc, j_cam, precision=hi)
+    s2 = jnp.einsum("nac,cnd,nbd->nab", j_cam, p_cr, j_ray, precision=hi)
+    s3 = jnp.einsum("nac,ncd,nbd->nab", j_ray, p_rr, j_ray, precision=hi)
+    s_i = s1 + s2 + s2.transpose(0, 2, 1) + s3 + cfg.sigma_obs**2 * jnp.eye(2)
+    det = s_i[:, 0, 0] * s_i[:, 1, 1] - s_i[:, 0, 1] * s_i[:, 1, 0]
+    maha2 = (
+        s_i[:, 1, 1] * innov[:, 0] ** 2
+        - (s_i[:, 0, 1] + s_i[:, 1, 0]) * innov[:, 0] * innov[:, 1]
+        + s_i[:, 0, 0] * innov[:, 1] ** 2
+    ) / jnp.maximum(det, 1e-12)
+    gate_ok = (maha2 < cfg.gate_maha2) & (
+        jnp.linalg.norm(innov, axis=-1) < cfg.innovation_gate_px
+    )
     used = offered & gate_ok
     used_f = used.astype(jnp.float32)[:, None]           # (N, 1)
     innov = jnp.where(used[:, None], innov, 0.0)

@@ -1,0 +1,141 @@
+"""Descriptor matching — jax reference path (the Pallas kernel in
+``ptzjax.kernels.match`` is the fast path; this module defines semantics).
+
+TPU-native analogue of the reference's BF matcher + Lowe ratio test + mutual
+check (``slam_system/image_process.py`` — SURVEY.md §2 layer 3, §8.5). The
+score matrix D_q D_r^T is one MXU matmul; top-2/ratio/mutual are row/col
+reductions. Everything is padded + masked, no dynamic shapes.
+
+Descriptors are unit-norm, so squared L2 distance = 2 - 2 * cosine and the
+Lowe ratio test ``d1/d2 < ratio`` becomes ``(1 - s1) < ratio^2 (1 - s2)``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e9
+
+
+class MatchResult(NamedTuple):
+    """Per-query-row match into the reference set.
+
+    Attributes:
+      idx: (Q,) int32 best reference index (0 where invalid).
+      ok: (Q,) bool match survived ratio/mutual/gating.
+      score: (Q,) fp32 cosine similarity of the best match.
+    """
+
+    idx: jax.Array
+    ok: jax.Array
+    score: jax.Array
+
+
+def _masked_scores(
+    d_query: jax.Array,
+    d_ref: jax.Array,
+    q_valid: jax.Array,
+    r_valid: jax.Array,
+) -> jax.Array:
+    s = jnp.dot(d_query, d_ref.T, preferred_element_type=jnp.float32)
+    s = jnp.where(q_valid[:, None] & r_valid[None, :], s, _NEG)
+    return s
+
+
+def _top2(s: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Row-wise (best idx, best val, second val)."""
+    i1 = jnp.argmax(s, axis=1)
+    v1 = jnp.take_along_axis(s, i1[:, None], axis=1)[:, 0]
+    s2 = s.at[jnp.arange(s.shape[0]), i1].set(_NEG)
+    v2 = jnp.max(s2, axis=1)
+    return i1.astype(jnp.int32), v1, v2
+
+
+def match_descriptors(
+    d_query: jax.Array,
+    d_ref: jax.Array,
+    q_valid: jax.Array,
+    r_valid: jax.Array,
+    ratio: float = 0.8,
+    mutual: bool = True,
+    min_score: float = 0.5,
+) -> MatchResult:
+    """BF match with Lowe ratio, absolute score floor, and optional
+    mutual-best check.
+
+    Args:
+      d_query: (Q, D) unit descriptors; d_ref: (R, D).
+      q_valid, r_valid: validity masks.
+      ratio: Lowe ratio on L2 distances (reference default 0.8 [M]).
+      min_score: absolute cosine floor — rejects "best of nothing" matches
+        when the true counterpart is absent (random unit cosines are
+        ~1/sqrt(D), far below any genuine match).
+    """
+    s = _masked_scores(d_query, d_ref, q_valid, r_valid)
+    idx, v1, v2 = _top2(s)
+    # distances on unit vectors: d^2 = 2 - 2 s  (clamp for fp noise)
+    d1 = jnp.maximum(1.0 - v1, 0.0)
+    d2 = jnp.maximum(1.0 - v2, 1e-12)
+    ok = q_valid & (v1 > min_score) & (d1 < ratio * ratio * d2)
+    if mutual:
+        col_best = jnp.argmax(s, axis=0).astype(jnp.int32)   # (R,)
+        ok = ok & (col_best[idx] == jnp.arange(s.shape[0], dtype=jnp.int32))
+    return MatchResult(idx=jnp.where(ok, idx, 0), ok=ok, score=v1)
+
+
+def match_gated(
+    d_query: jax.Array,
+    xy_query: jax.Array,
+    d_ref: jax.Array,
+    xy_ref_pred: jax.Array,
+    q_valid: jax.Array,
+    r_valid: jax.Array,
+    gate_px: float,
+    ratio: float = 0.9,
+    min_score: float = 0.5,
+) -> MatchResult:
+    """Match with a spatial gate: query keypoints may only match reference
+    entries whose predicted pixel position is within gate_px. This is the
+    tracking-mode matcher (the reference uses KLT optical flow for this role
+    — SURVEY.md §8.5 chooses descriptor re-match + gating instead, which is
+    one MXU matmul rather than an image-pyramid scan).
+    """
+    s = _masked_scores(d_query, d_ref, q_valid, r_valid)
+    d2 = jnp.sum(
+        (xy_query[:, None, :] - xy_ref_pred[None, :, :]) ** 2, axis=-1
+    )
+    s = jnp.where(d2 <= gate_px * gate_px, s, _NEG)
+    idx, v1, v2 = _top2(s)
+    dd1 = jnp.maximum(1.0 - v1, 0.0)
+    dd2 = jnp.maximum(1.0 - v2, 1e-12)
+    # ratio only when a second candidate exists inside the gate
+    has2 = v2 > _NEG / 2
+    ratio_ok = jnp.where(has2, dd1 < ratio * ratio * dd2, True)
+    ok = q_valid & (v1 > min_score) & ratio_ok
+    col_best = jnp.argmax(s, axis=0).astype(jnp.int32)
+    ok = ok & (col_best[idx] == jnp.arange(s.shape[0], dtype=jnp.int32))
+    return MatchResult(idx=jnp.where(ok, idx, 0), ok=ok, score=v1)
+
+
+def scatter_to_slots(
+    result: MatchResult,
+    xy_query: jax.Array,
+    num_slots: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Convert query->slot matches into slot-aligned EKF observations.
+
+    Args:
+      result: matches where ``idx`` indexes EKF slots.
+
+    Returns:
+      (obs (N,2), obs_mask (N,)) for ekf.update.
+    """
+    obs = jnp.zeros((num_slots, 2), xy_query.dtype)
+    mask = jnp.zeros((num_slots,), bool)
+    tgt = jnp.where(result.ok, result.idx, num_slots)
+    obs = obs.at[tgt].set(xy_query, mode="drop")
+    mask = mask.at[tgt].set(True, mode="drop")
+    return obs, mask

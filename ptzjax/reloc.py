@@ -1,0 +1,141 @@
+"""Relocalization: recover (pan, tilt, focal) when tracking is lost.
+
+TPU-native redesign of the reference's keyframe relocalization
+(``slam_system/relocalization.py`` — SURVEY.md §2 layer 6, §4.4): match the
+lost frame's descriptors against the global ray store (one MXU matmul —
+covering all keyframes at once, where the reference loops keyframes), then
+solve the 3-DoF pose from 2D<->ray correspondences.
+
+The nonlinear solve needs an initialization; we use a TPU-shaped hypothesis
+sweep instead of sequential RANSAC (SURVEY.md §8.5): for each candidate focal
+length on a log grid, every correspondence votes a (pan, tilt) directly
+(closed form below); the densest vote wins, inliers are scored batched, and a
+Huber-weighted Gauss-Newton refinement polishes all three parameters.
+
+Closed-form vote: theta = pan + atan((x-cx)/f) inverts to
+    pan_i  = theta_i - atan((x_i - cx) / f)
+    tilt_i = phi_i   - atan(-(y_i - cy) * cos(atan((x_i-cx)/f)) / f)
+so each match proposes a full (pan, tilt) for a hypothesized f.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ptzjax import match as matchlib
+from ptzjax.config import SLAMConfig
+from ptzjax.geometry import Intrinsics, project_jacobians
+from ptzjax.mapstore import RayStore
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class RelocResult(NamedTuple):
+    pose: jax.Array       # (3,) recovered (pan, tilt, f)
+    inliers: jax.Array    # () int32 consensus size after refinement
+    success: jax.Array    # () bool
+    matched_ray_ids: jax.Array  # (Q,) int32 ray id per query feature (-1 none)
+    matched_ok: jax.Array       # (Q,) bool final inlier mask per query
+
+
+def _vote_pose(f: jax.Array, rays: jax.Array, xy: jax.Array, w: jax.Array, intr):
+    """Median (pan, tilt) vote for one hypothesized focal length."""
+    u = jnp.arctan2(xy[:, 0] - intr.cx, f)
+    pan_i = rays[:, 0] - u
+    tilt_i = rays[:, 1] - jnp.arctan2(-(xy[:, 1] - intr.cy) * jnp.cos(u), f)
+    # masked median: sort with invalid pushed to +inf, pick middle of valid
+    def masked_median(vals):
+        n = jnp.maximum(w.sum(), 1)
+        sv = jnp.sort(jnp.where(w, vals, jnp.inf))
+        return sv[(n - 1) // 2]
+
+    return jnp.stack([masked_median(pan_i), masked_median(tilt_i), f])
+
+
+def _count_inliers(pose, rays, xy, w, intr, tol_px):
+    pix, _, _ = project_jacobians(pose, rays, intr)
+    err = jnp.linalg.norm(pix - xy, axis=-1)
+    inl = w & (err < tol_px)
+    return inl, inl.sum()
+
+
+def solve_pose(
+    rays: jax.Array,
+    xy: jax.Array,
+    w: jax.Array,
+    intr: Intrinsics,
+    init_pose: jax.Array,
+    iters: int = 20,
+    huber_px: float = 3.0,
+    damping: float = 1e-3,
+) -> jax.Array:
+    """Huber-weighted damped Gauss-Newton over (pan, tilt, f).
+
+    The reference solves this with scipy least_squares (SURVEY.md §4.4); here
+    it is a fixed-iteration lax.fori loop of 3x3 solves, fully on device.
+    """
+    fs = 1e-3  # focal scaling for conditioning, as in BA
+
+    def body(_, pose):
+        pix, j_cam, _ = project_jacobians(pose, rays, intr)
+        r = pix - xy                                 # (N, 2)
+        j = j_cam.at[..., 2].divide(fs)              # scaled f column
+        rn = jnp.linalg.norm(r, axis=-1)
+        hub = jnp.sqrt(jnp.where(rn > huber_px, huber_px / jnp.maximum(rn, 1e-9), 1.0))
+        wgt = (w.astype(jnp.float32) * hub)[:, None]
+        jw = j * wgt[..., None]
+        rw = r * wgt
+        h = jnp.einsum("nab,nac->bc", jw, jw, precision=_HI)
+        g = jnp.einsum("nab,na->b", jw, rw, precision=_HI)
+        h = h + damping * jnp.diag(jnp.diag(h)) + 1e-8 * jnp.eye(3)
+        step = jnp.linalg.solve(h, -g) * jnp.array([1.0, 1.0, 1.0 / fs])
+        return pose + step
+
+    return jax.lax.fori_loop(0, iters, body, init_pose)
+
+
+def relocalize(
+    desc: jax.Array,
+    xy: jax.Array,
+    valid: jax.Array,
+    ray_store: RayStore,
+    intr: Intrinsics,
+    cfg: SLAMConfig,
+    f_range: tuple[float, float] = (800.0, 6000.0),
+    num_f: int = 32,
+    tol_px: float = 8.0,
+) -> RelocResult:
+    """Full relocalization from a lost frame's features (SURVEY.md §4.4)."""
+    m = matchlib.match_descriptors(
+        desc, ray_store.desc, valid, ray_store.valid, ratio=cfg.ratio_test
+    )
+    mrays = ray_store.rays[m.idx]                    # (Q, 2)
+    w = m.ok
+
+    fgrid = jnp.exp(
+        jnp.linspace(jnp.log(f_range[0]), jnp.log(f_range[1]), num_f)
+    ).astype(jnp.float32)
+    poses = jax.vmap(lambda f: _vote_pose(f, mrays, xy, w, intr))(fgrid)
+    counts = jax.vmap(
+        lambda p: _count_inliers(p, mrays, xy, w, intr, 2 * tol_px)[1]
+    )(poses)
+    best = poses[jnp.argmax(counts)]
+
+    # refine on the coarse inlier set, then re-gate and refine once more
+    inl0, _ = _count_inliers(best, mrays, xy, w, intr, 4 * tol_px)
+    pose1 = solve_pose(mrays, xy, inl0, intr, best, iters=cfg.reloc_iters)
+    inl1, n1 = _count_inliers(pose1, mrays, xy, w, intr, tol_px)
+    pose2 = solve_pose(mrays, xy, inl1, intr, pose1, iters=cfg.reloc_iters)
+    inl2, n2 = _count_inliers(pose2, mrays, xy, w, intr, tol_px)
+
+    success = n2 >= cfg.reloc_min_matches
+    return RelocResult(
+        pose=pose2,
+        inliers=n2,
+        success=success,
+        matched_ray_ids=jnp.where(inl2, m.idx, -1),
+        matched_ok=inl2,
+    )

@@ -1,0 +1,362 @@
+"""Online PTZ-SLAM loop: tracking, map growth, keyframes, relocalization, BA.
+
+TPU-native redesign of the reference's system driver
+(``slam_system/ptz_slam.py`` ``PtzSlam.init_system/.tracking/.relocalize`` —
+SURVEY.md §2 layer 5, §4.1-§4.4). The per-frame hot path is one jitted
+``track_frame`` with static shapes; rare, data-dependent events (keyframe
+insertion, relocalization, BA) are separate jitted functions dispatched by a
+thin host-side policy — the SURVEY.md §10 recipe for data-dependent control
+flow under jit.
+
+Per-frame flow (§4.2):
+  predict -> project active slots -> gated descriptor re-match (the KLT
+  analogue, §8.5) -> joint EKF update -> slot lifecycle (retire lost rays,
+  back-project fresh keypoints into free slots, allocate global ray ids) ->
+  lost check / keyframe-overlap check.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptzjax import ba as balib
+from ptzjax import ekf as ekflib
+from ptzjax import mapstore
+from ptzjax import match as matchlib
+from ptzjax import reloc as reloclib
+from ptzjax.config import SLAMConfig
+from ptzjax.geometry import Intrinsics, in_view_mask, project_rays
+
+
+class SlamState(NamedTuple):
+    """Full online state (a pytree; everything fixed-capacity)."""
+
+    ekf: ekflib.EKFState
+    slot_desc: jax.Array          # (N, D) descriptor per EKF slot
+    kf: mapstore.KeyframeStore
+    rays: mapstore.RayStore
+    lost: jax.Array               # () bool
+    frame_idx: jax.Array          # () int32
+
+
+class FrameInfo(NamedTuple):
+    """Per-frame observability record (SURVEY.md §7 metrics/logging).
+
+    ``event``: 0 = tracked, 1 = relocalization attempted.
+    """
+
+    pose: jax.Array
+    num_matches: jax.Array
+    num_used: jax.Array
+    innovation_rms: jax.Array
+    lost: jax.Array
+    num_active_slots: jax.Array
+    max_kf_overlap: jax.Array
+    event: jax.Array
+    keyframe: jax.Array
+    reloc_success: jax.Array
+
+
+class PTZSlam:
+    """Host-side orchestrator owning the jitted stages.
+
+    Typical use::
+
+        slam = PTZSlam(cfg, intr)
+        state = slam.init(xy0, desc0, valid0, pose0)
+        for frame in frames:
+            state, info = slam.process(state, frame.xy, frame.desc, frame.valid)
+    """
+
+    def __init__(self, cfg: SLAMConfig, intr: Intrinsics):
+        self.cfg = cfg
+        self.intr = intr
+        # ONE jitted step per frame: track/reloc selected by lax.cond,
+        # keyframe insertion by lax.cond — no host round-trips in the loop
+        # (each device->host sync over the PJRT tunnel costs ~30 ms).
+        self._step = jax.jit(partial(_frame_step, cfg=cfg, intr=intr))
+        self._segment = jax.jit(partial(_run_segment, cfg=cfg, intr=intr))
+        self._ba = jax.jit(partial(_run_ba, cfg=cfg, intr=intr))
+
+    def init(self, xy, desc, valid, pose0) -> SlamState:
+        """First-frame bootstrap from a known pose (SURVEY.md §4.1)."""
+        cfg = self.cfg
+        state = SlamState(
+            ekf=ekflib.init_state(jnp.asarray(pose0, jnp.float32), cfg),
+            slot_desc=jnp.zeros((cfg.max_rays, cfg.kf_desc_dim), jnp.float32),
+            kf=mapstore.init_keyframe_store(cfg),
+            rays=mapstore.init_ray_store(cfg),
+            lost=jnp.asarray(False),
+            frame_idx=jnp.asarray(0, jnp.int32),
+        )
+        state = jax.jit(partial(_bootstrap, cfg=cfg, intr=self.intr))(
+            state, jnp.asarray(xy), jnp.asarray(desc), jnp.asarray(valid)
+        )
+        return state
+
+    def step(self, state: SlamState, xy, desc, valid) -> tuple[SlamState, FrameInfo]:
+        """One frame, fully on device. FrameInfo fields are device scalars —
+        pull them with a single jax.device_get when needed."""
+        return self._step(
+            state, jnp.asarray(xy), jnp.asarray(desc), jnp.asarray(valid)
+        )
+
+    def process(
+        self, state: SlamState, xy, desc, valid
+    ) -> tuple[SlamState, dict[str, Any]]:
+        """One frame + host info dict (one device->host transfer)."""
+        state, finfo = self.step(state, xy, desc, valid)
+        return state, info_to_dict(finfo)
+
+    def run_segment(
+        self, state: SlamState, xy_seq, desc_seq, valid_seq
+    ) -> tuple[SlamState, FrameInfo]:
+        """Process a whole chunk of frames as one lax.scan on device — the
+        broadcast-rate online path (amortizes all dispatch overhead)."""
+        return self._segment(
+            state,
+            jnp.asarray(xy_seq),
+            jnp.asarray(desc_seq),
+            jnp.asarray(valid_seq),
+        )
+
+    def bundle_adjust(self, state: SlamState) -> tuple[SlamState, dict[str, Any]]:
+        """Offline/keyframe-time BA over the whole map (SURVEY.md §4.3)."""
+        state, cost0, cost1 = self._ba(state)
+        return state, {"ba_cost_before": float(cost0), "ba_cost_after": float(cost1)}
+
+
+# --- jitted stages -----------------------------------------------------------
+
+
+def _bootstrap(state: SlamState, xy, desc, valid, *, cfg, intr) -> SlamState:
+    state, _ = _grow_map(state, xy, desc, valid, cfg=cfg, intr=intr)
+    return _insert_keyframe(state, xy, desc, valid, cfg=cfg, intr=intr)
+
+
+def _grow_map(state: SlamState, xy, desc, cand_mask, *, cfg, intr):
+    """Insert candidate keypoints as new EKF slots + global rays."""
+    from ptzjax.geometry import back_project_pixels
+
+    new_rays = back_project_pixels(state.ekf.pose, xy, intr)
+    # only allocate map rows for candidates that will claim a free EKF slot —
+    # otherwise every frame's unmatched features leak permanent map rays and
+    # exhaust the store within seconds of video
+    num_free = (~state.ekf.active).sum()
+    cand_rank = jnp.cumsum(cand_mask.astype(jnp.int32)) - 1
+    cand_sel = cand_mask & (cand_rank < num_free)
+    rays_store, ids = mapstore.add_rays(state.rays, new_rays, desc, cand_sel)
+    accept = ids >= 0
+    ekf_state = ekflib.insert_rays(
+        state.ekf, xy, accept, ids, intr, cfg
+    )
+    # record descriptors on the slots that were just claimed: recompute the
+    # same slot targets (free-slot ranking is deterministic)
+    free = ~state.ekf.active
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    n = state.ekf.capacity
+    cand_rank = jnp.cumsum(accept.astype(jnp.int32)) - 1
+    num_free = free.sum()
+    cand_ok = accept & (cand_rank < num_free)
+    slot_of_rank = jnp.full((n,), n, jnp.int32).at[
+        jnp.where(free, free_rank, n)
+    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    target = jnp.where(cand_ok, slot_of_rank[jnp.clip(cand_rank, 0, n - 1)], n)
+    slot_desc = state.slot_desc.at[target].set(desc, mode="drop")
+    return state._replace(ekf=ekf_state, slot_desc=slot_desc, rays=rays_store), accept
+
+
+def _track_frame(
+    state: SlamState, xy, desc, valid, *, cfg, intr
+) -> tuple[SlamState, FrameInfo]:
+    # 1. predict
+    ekf_state = ekflib.predict(state.ekf, cfg)
+    pose = ekf_state.pose
+
+    # 2. project active slots to predicted pixels
+    pred_pix = project_rays(pose, ekf_state.rays, intr)
+    slot_visible = ekf_state.active & in_view_mask(
+        pose, ekf_state.rays, intr, cfg.image_width, cfg.image_height,
+        margin=cfg.innovation_gate_px,
+    )
+
+    # 3. gated re-match (tracking-mode association, SURVEY.md §8.5)
+    m = matchlib.match_gated(
+        desc, xy, state.slot_desc, pred_pix, valid, slot_visible,
+        gate_px=cfg.track_gate_px, ratio=0.95,
+    )
+    obs, obs_mask = matchlib.scatter_to_slots(m, xy, ekf_state.capacity)
+
+    # 4. joint EKF update + slot lifecycle
+    ekf_state, stats = ekflib.update(ekf_state, obs, obs_mask, intr, cfg)
+    ekf_state = ekflib.retire_lost(ekf_state, cfg)
+    state = state._replace(ekf=ekf_state)
+
+    # refresh global ray estimates from the filter (per-frame ray refinement)
+    state = state._replace(
+        rays=mapstore.update_rays(
+            state.rays, ekf_state.ray_ids, ekf_state.rays, ekf_state.active
+        )
+    )
+
+    # 5. grow: unmatched fresh keypoints become new rays (only when healthy)
+    fresh = valid & ~m.ok & ~stats.lost
+    state, _ = _grow_map(state, xy, desc, fresh, cfg=cfg, intr=intr)
+
+    max_ov = mapstore.max_overlap_with_keyframes(
+        state.kf, pose, cfg.image_width, cfg.image_height
+    )
+    state = state._replace(
+        lost=stats.lost, frame_idx=state.frame_idx + 1
+    )
+    info = FrameInfo(
+        pose=state.ekf.pose,
+        num_matches=m.ok.sum(),
+        num_used=stats.num_used,
+        innovation_rms=stats.innovation_rms,
+        lost=stats.lost,
+        num_active_slots=state.ekf.active.sum(),
+        max_kf_overlap=max_ov,
+        event=jnp.asarray(0, jnp.int32),
+        keyframe=jnp.asarray(False),
+        reloc_success=jnp.asarray(False),
+    )
+    return state, info
+
+
+def _insert_keyframe(state: SlamState, xy, desc, valid, *, cfg, intr) -> SlamState:
+    """Store the current frame as a keyframe: features + their ray ids.
+
+    Feature->ray association: descriptor match against the EKF slots, gated
+    by the slots' predicted pixel positions. The gate is tight (the filter
+    just updated on this frame, so linked slots project within a few sigma);
+    an ungated descriptor match leaks rare high-cosine coincidences into the
+    keyframe tables, whose huge residuals then dominate and derail BA.
+    """
+    pred_pix = project_rays(state.ekf.pose, state.ekf.rays, intr)
+    m = matchlib.match_gated(
+        desc, xy, state.slot_desc, pred_pix, valid, state.ekf.active,
+        gate_px=3 * cfg.sigma_obs + 5.0, ratio=0.95,
+    )
+    ray_ids = jnp.where(m.ok, state.ekf.ray_ids[m.idx], -1)
+    feat_valid = valid & m.ok & (ray_ids >= 0)
+    kf = mapstore.add_keyframe(
+        state.kf, state.ekf.pose, state.frame_idx, xy, desc, ray_ids, feat_valid
+    )
+    views = state.rays.views.at[
+        jnp.where(feat_valid, ray_ids, state.rays.views.shape[0])
+    ].add(1, mode="drop")
+    return state._replace(kf=kf, rays=state.rays._replace(views=views))
+
+
+def _relocalize(state: SlamState, xy, desc, valid, *, cfg, intr):
+    """Recover from lost tracking via the global ray store (SURVEY.md §4.4),
+    then rebuild the EKF around the recovered pose with the inlier rays."""
+    res = reloclib.relocalize(desc, xy, valid, state.rays, intr, cfg)
+
+    def recover(_):
+        ekf_state = ekflib.init_state(res.pose, cfg)
+        # seed slots with the reloc inlier rays at their map positions
+        ids = jnp.where(res.matched_ok, res.matched_ray_ids, -1)
+        ekf_state = ekflib.insert_rays(
+            ekf_state, xy, res.matched_ok, ids, intr, cfg
+        )
+        # use map ray values (better than back-projection through new pose)
+        n = ekf_state.capacity
+        slot_ray = jnp.where(
+            (ekf_state.ray_ids >= 0)[:, None],
+            state.rays.rays[jnp.clip(ekf_state.ray_ids, 0, None)],
+            ekf_state.rays,
+        )
+        ekf_state = ekf_state._replace(rays=slot_ray)
+        # slot descriptors: all slots were free pre-insert, so candidate j
+        # landed in slot rank(j); recompute the deterministic targets
+        cand_rank = jnp.cumsum(res.matched_ok.astype(jnp.int32)) - 1
+        target = jnp.where(res.matched_ok, cand_rank, n)
+        slot_desc = jnp.zeros_like(state.slot_desc).at[target].set(desc, mode="drop")
+        return state._replace(
+            ekf=ekf_state, slot_desc=slot_desc, lost=jnp.asarray(False),
+            frame_idx=state.frame_idx + 1,
+        )
+
+    def stay_lost(_):
+        return state._replace(frame_idx=state.frame_idx + 1)
+
+    new_state = jax.lax.cond(res.success, recover, stay_lost, None)
+    info = FrameInfo(
+        pose=new_state.ekf.pose,
+        num_matches=res.inliers,
+        num_used=res.inliers,
+        innovation_rms=jnp.asarray(0.0, jnp.float32),
+        lost=~res.success,
+        num_active_slots=new_state.ekf.active.sum(),
+        max_kf_overlap=jnp.asarray(1.0, jnp.float32),
+        event=jnp.asarray(1, jnp.int32),
+        keyframe=jnp.asarray(False),
+        reloc_success=res.success,
+    )
+    return new_state, info
+
+
+def _frame_step(state: SlamState, xy, desc, valid, *, cfg, intr):
+    """The whole per-frame pipeline as one traced function: reloc-or-track
+    selected by lax.cond on the lost flag, keyframe insertion by lax.cond on
+    the overlap policy. Zero host decisions (SURVEY.md §10 hard parts)."""
+
+    def do_reloc(_):
+        return _relocalize(state, xy, desc, valid, cfg=cfg, intr=intr)
+
+    def do_track(_):
+        s2, info = _track_frame(state, xy, desc, valid, cfg=cfg, intr=intr)
+        insert = (~info.lost) & (info.max_kf_overlap < cfg.keyframe_overlap)
+        s3 = jax.lax.cond(
+            insert,
+            lambda s: _insert_keyframe(s, xy, desc, valid, cfg=cfg, intr=intr),
+            lambda s: s,
+            s2,
+        )
+        return s3, info._replace(keyframe=insert)
+
+    return jax.lax.cond(state.lost, do_reloc, do_track, None)
+
+
+def _run_segment(state: SlamState, xy_seq, desc_seq, valid_seq, *, cfg, intr):
+    def body(s, frame):
+        xy, desc, valid = frame
+        return _frame_step(s, xy, desc, valid, cfg=cfg, intr=intr)
+
+    return jax.lax.scan(body, state, (xy_seq, desc_seq, valid_seq))
+
+
+def info_to_dict(finfo: FrameInfo) -> dict[str, Any]:
+    """One device->host transfer; mirrors the reference's per-frame logging
+    (SURVEY.md §7 metrics/observability)."""
+    h = jax.device_get(finfo)
+    track = int(h.event) == 0
+    return {
+        "event": "track" if track else "reloc",
+        "pose": np.asarray(h.pose),
+        "num_matches": int(h.num_matches),
+        "num_used": int(h.num_used),
+        "innovation_rms": float(h.innovation_rms),
+        "lost": bool(h.lost),
+        "active_slots": int(h.num_active_slots),
+        "max_kf_overlap": float(h.max_kf_overlap),
+        "keyframe": bool(h.keyframe),
+        "reloc_success": bool(h.reloc_success),
+        "reloc_inliers": int(h.num_used),
+    }
+
+
+def _run_ba(state: SlamState, *, cfg, intr):
+    prob = mapstore.build_ba_problem(state.kf, state.rays, max_views_per_ray=8)
+    res = balib.run(prob, intr, cfg)
+    kf, rays = mapstore.apply_ba_result(
+        state.kf, state.rays, res.cams, res.rays, prob.obs_w
+    )
+    return state._replace(kf=kf, rays=rays), res.initial_cost, res.cost
