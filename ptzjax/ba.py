@@ -147,14 +147,12 @@ def _damp(h: jax.Array, lam: jax.Array, eps: float = 1e-8) -> jax.Array:
     return h + lam * diag + eps * eye
 
 
-def schur_reduce(
-    u, g_c, v, g_r, w_blk, obs_cam, cam_free, lam
-):
-    """Build the reduced camera system S dc = rhs from (possibly psum-ed)
-    normal terms. S is (3K, 3K) — small and dense by design.
-    """
-    k = u.shape[0]
-    m, c = obs_cam.shape
+def schur_local(v, g_r, w_blk, obs_cam, num_cams, lam):
+    """Shard-local Schur-correction contributions (SURVEY.md §5): everything
+    here only touches this shard's ray rows, so sharded BA just psums the
+    returned (K,K,3,3) + (K,3) blocks — the one collective on the LM
+    critical path."""
+    k = num_cams
     v_inv = _inv2x2(_damp(v, lam))                                # (M,2,2)
     y = jnp.einsum("mcab,mbd->mcad", w_blk, v_inv, precision=_HI) # (M,C,3,2)
 
@@ -165,14 +163,21 @@ def schur_reduce(
         corr.reshape(-1, 3, 3), pair_idx, num_segments=k * k
     ).reshape(k, k, 3, 3)
 
-    s = jnp.zeros((k, k, 3, 3), u.dtype)
-    s = s.at[jnp.arange(k), jnp.arange(k)].set(_damp(u, lam))
-    s = s - s_corr
-
     rhs_per_obs = jnp.einsum("mcab,mb->mca", y, g_r, precision=_HI)  # (M,C,3)
     rhs_corr = jax.ops.segment_sum(
         rhs_per_obs.reshape(-1, 3), obs_cam.reshape(-1), num_segments=k
     )
+    return s_corr, rhs_corr
+
+
+def schur_assemble(u, g_c, s_corr, rhs_corr, cam_free, lam):
+    """Assemble the damped, gauge-fixed reduced system from (already
+    all-reduced) terms. Runs replicated on every shard; S is (3K, 3K) —
+    small and dense by design."""
+    k = u.shape[0]
+    s = jnp.zeros((k, k, 3, 3), u.dtype)
+    s = s.at[jnp.arange(k), jnp.arange(k)].set(_damp(u, lam))
+    s = s - s_corr
     rhs = -g_c + rhs_corr                                          # (K,3)
 
     # gauge / padding: frozen cameras get identity rows/cols, zero rhs
@@ -184,6 +189,12 @@ def schur_reduce(
     )
     rhs = rhs * free[:, None]
     return s.transpose(0, 2, 1, 3).reshape(3 * k, 3 * k), rhs.reshape(-1)
+
+
+def schur_reduce(u, g_c, v, g_r, w_blk, obs_cam, cam_free, lam):
+    """Single-device convenience: local contributions + assembly."""
+    s_corr, rhs_corr = schur_local(v, g_r, w_blk, obs_cam, u.shape[0], lam)
+    return schur_assemble(u, g_c, s_corr, rhs_corr, cam_free, lam)
 
 
 def back_substitute(v, g_r, w_blk, obs_cam, dc, lam):
@@ -198,33 +209,60 @@ def back_substitute(v, g_r, w_blk, obs_cam, dc, lam):
     return jnp.einsum("mab,mb->ma", v_inv, -g_r - wt_dc, precision=_HI)
 
 
-def lm_iteration(cams, rays, lam, prob: BAProblem, intr, cfg: SLAMConfig):
+def lm_iteration(
+    cams, rays, lam, prob: BAProblem, intr, cfg: SLAMConfig, axis_name=None
+):
     """One damped step: build, reduce, solve, back-substitute. Returns the
-    candidate parameters (caller decides acceptance)."""
+    candidate parameters (caller decides acceptance).
+
+    With ``axis_name`` set (inside shard_map over ray shards), the camera
+    system is psum-reduced over the mesh axis; ray elimination and back
+    substitution stay shard-local (SURVEY.md §5, §8.4).
+    """
     fs = cfg.ba_focal_scale
     u, g_c, v, g_r, w_blk = normal_terms(cams, rays, prob, intr, fs)
-    s, rhs = schur_reduce(u, g_c, v, g_r, w_blk, prob.obs_cam, prob.cam_free, lam)
+    s_corr, rhs_corr = schur_local(
+        v, g_r, w_blk, prob.obs_cam, cams.shape[0], lam
+    )
+    if axis_name is not None:
+        u, g_c, s_corr, rhs_corr = jax.lax.psum(
+            (u, g_c, s_corr, rhs_corr), axis_name
+        )
+    s, rhs = schur_assemble(u, g_c, s_corr, rhs_corr, prob.cam_free, lam)
     chol = jax.scipy.linalg.cho_factor(s, lower=True)
-    dc = jax.scipy.linalg.cho_solve(chol, rhs)
-    dr = back_substitute(v, g_r, w_blk, prob.obs_cam, dc, lam)
+    dc = jax.scipy.linalg.cho_solve(chol, rhs)     # replicated on all shards
+    dr = back_substitute(v, g_r, w_blk, prob.obs_cam, dc, lam)  # shard-local
     dc_unscaled = dc.reshape(-1, 3) * jnp.array([1.0, 1.0, 1.0 / fs], cams.dtype)
     new_cams = cams + dc_unscaled * prob.cam_free[:, None]
     new_rays = rays + dr
     return new_cams, new_rays
 
 
-def run(prob: BAProblem, intr: Intrinsics, cfg: SLAMConfig) -> BAResult:
+def run(
+    prob: BAProblem, intr: Intrinsics, cfg: SLAMConfig, axis_name=None
+) -> BAResult:
     """Full LM loop with accept/reject, fixed iteration count (static shape).
 
     Rejected steps keep parameters and raise lambda; accepted steps lower it
-    (SURVEY.md §8.4 LM schedule). Everything stays on device.
+    (SURVEY.md §8.4 LM schedule). Everything stays on device. Works unchanged
+    inside shard_map over ray shards when ``axis_name`` is given — costs are
+    psum-ed, the reduced camera solve is replicated, rays stay local.
     """
-    cost0 = compute_cost(prob.cams, prob.rays, prob, intr)
+
+    def total_cost(cams, rays):
+        c = compute_cost(cams, rays, prob, intr)
+        if axis_name is not None:
+            c = jax.lax.psum(c, axis_name)
+        return c
+
+    cost0 = total_cost(prob.cams, prob.rays)
 
     def body(carry, _):
         cams, rays, lam, cost, accepted = carry
-        cand_cams, cand_rays = lm_iteration(cams, rays, lam, prob, intr, cfg)
-        cand_cost = compute_cost(cand_cams, cand_rays, prob, intr)
+        cand_cams, cand_rays = lm_iteration(
+            cams, rays, lam, prob, intr, cfg, axis_name=axis_name
+        )
+        cand_cost = total_cost(cand_cams, cand_rays)
         ok = cand_cost < cost
         cams = jnp.where(ok, cand_cams, cams)
         rays = jnp.where(ok, cand_rays, rays)

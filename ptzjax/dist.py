@@ -1,0 +1,120 @@
+"""Distributed execution: device mesh + observation-sharded bundle adjustment.
+
+The reference has NO distributed anything (SURVEY.md §3, §5) — this layer is
+new design, not a port. The workload's long axis is the map (rays and their
+observations), so BA shards the ray-major observation table across a 1-D
+device mesh:
+
+- per LM iteration each shard builds its rays' normal terms and Schur
+  corrections locally (``ba.schur_local``);
+- ONE psum all-reduces the (3K,3K) reduced camera system + rhs (+ the cost
+  scalar) over the mesh axis — the only collective on the critical path,
+  riding ICI within a slice and DCN across hosts;
+- the small camera solve runs replicated; per-ray back-substitution is
+  shard-local.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh()``;
+``jax.devices()`` then spans all hosts and the same code runs unchanged
+(mesh axis laid out ICI-major by default device order).
+
+Shard-count invariance is tested on a virtual 8-device CPU mesh
+(SURVEY.md §6 item 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ptzjax import ba as balib
+from ptzjax.ba import BAProblem, BAResult
+from ptzjax.config import SLAMConfig
+from ptzjax.geometry import Intrinsics
+
+try:  # jax >= 0.6 moved shard_map out of experimental
+    from jax import shard_map as _shard_map_mod  # type: ignore
+
+    shard_map = _shard_map_mod
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+AXIS = "obs"
+
+
+def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the observation/ray axis (SURVEY.md §5)."""
+    if devices is None:
+        devices = jax.devices()
+        if num_devices is not None:
+            devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def pad_problem_for_mesh(prob: BAProblem, num_shards: int) -> BAProblem:
+    """Pad the ray axis to a multiple of the shard count (weights 0)."""
+    m = prob.rays.shape[0]
+    pad = (-m) % num_shards
+    if pad == 0:
+        return prob
+    return prob._replace(
+        rays=jnp.pad(prob.rays, ((0, pad), (0, 0))),
+        obs_pix=jnp.pad(prob.obs_pix, ((0, pad), (0, 0), (0, 0))),
+        obs_cam=jnp.pad(prob.obs_cam, ((0, pad), (0, 0))),
+        obs_w=jnp.pad(prob.obs_w, ((0, pad), (0, 0))),
+    )
+
+
+def shard_problem(prob: BAProblem, mesh: Mesh) -> BAProblem:
+    """Place the ray-major arrays sharded over the mesh, cams replicated."""
+    ray_sharded = NamedSharding(mesh, P(AXIS))
+    replicated = NamedSharding(mesh, P())
+    return BAProblem(
+        cams=jax.device_put(prob.cams, replicated),
+        rays=jax.device_put(prob.rays, ray_sharded),
+        obs_pix=jax.device_put(prob.obs_pix, ray_sharded),
+        obs_cam=jax.device_put(prob.obs_cam, ray_sharded),
+        obs_w=jax.device_put(prob.obs_w, ray_sharded),
+        cam_free=jax.device_put(prob.cam_free, replicated),
+    )
+
+
+def run_sharded(
+    prob: BAProblem, intr: Intrinsics, cfg: SLAMConfig, mesh: Mesh
+) -> BAResult:
+    """Distributed LM/Schur BA over ray shards. Same math as ``ba.run`` —
+    the single-device path is the num_shards=1 special case, and results are
+    shard-count invariant (tested)."""
+    num = mesh.devices.size
+    prob = pad_problem_for_mesh(prob, num)
+    prob = shard_problem(prob, mesh)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),        # cams
+            P(AXIS),    # rays
+            P(AXIS),    # obs_pix
+            P(AXIS),    # obs_cam
+            P(AXIS),    # obs_w
+            P(),        # cam_free
+        ),
+        out_specs=BAResult(
+            cams=P(), rays=P(AXIS), cost=P(), initial_cost=P(),
+            iterations=P(), accepted=P(),
+        ),
+        check_vma=False,
+    )
+    def _run(cams, rays, obs_pix, obs_cam, obs_w, cam_free):
+        local = BAProblem(cams, rays, obs_pix, obs_cam, obs_w, cam_free)
+        return balib.run(local, intr, cfg, axis_name=AXIS)
+
+    return jax.jit(_run)(
+        prob.cams, prob.rays, prob.obs_pix, prob.obs_cam, prob.obs_w,
+        prob.cam_free,
+    )

@@ -1,0 +1,71 @@
+"""Distributed BA tests on the virtual 8-device CPU mesh (SURVEY.md §6
+item 5): shard-count invariance and parity with the single-device solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptzjax import ba, dist
+from ptzjax.config import SLAMConfig
+from tests.test_ba import build_problem
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return build_problem(num_kf=6, num_rays_cap=160, noise=0.5, seed=7)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+
+
+def test_sharded_matches_single_device(problem):
+    prob, intr, gt_cams, _, _ = problem
+    cfg = SLAMConfig(ba_iters=20)
+    res1 = ba.run(prob, intr, cfg)
+
+    mesh = dist.make_mesh(8)
+    res8 = dist.run_sharded(prob, intr, cfg, mesh)
+
+    # identical accept/reject path => near-bitwise identical results
+    np.testing.assert_allclose(
+        np.asarray(res8.cams), np.asarray(res1.cams), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(float(res8.cost), float(res1.cost), rtol=1e-4)
+    assert int(res8.accepted) == int(res1.accepted)
+    m = prob.rays.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(res8.rays)[:m], np.asarray(res1.rays), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_shard_count_invariance(problem):
+    prob, intr, _, _, _ = problem
+    cfg = SLAMConfig(ba_iters=10)
+    costs = []
+    for n in (1, 2, 4, 8):
+        mesh = dist.make_mesh(n)
+        res = dist.run_sharded(prob, intr, cfg, mesh)
+        costs.append(float(res.cost))
+    assert max(costs) - min(costs) < 1e-3 * (1 + max(costs)), costs
+
+
+def test_sharded_converges_to_gt(problem):
+    prob, intr, gt_cams, gt_rays, n_real = problem
+    cfg = SLAMConfig(ba_iters=25)
+    mesh = dist.make_mesh(8)
+    res = dist.run_sharded(prob, intr, cfg, mesh)
+    cams = np.asarray(res.cams)
+    assert np.abs(cams[:, 0] - gt_cams[:, 0]).max() < 5e-4
+    assert float(res.cost) < float(res.initial_cost)
+
+
+def test_padding_to_shard_multiple():
+    prob, intr, _, _, _ = build_problem(num_kf=4, num_rays_cap=150, noise=0.0, seed=9)
+    assert prob.rays.shape[0] == 150  # not divisible by 8
+    cfg = SLAMConfig(ba_iters=8)
+    mesh = dist.make_mesh(8)
+    res = dist.run_sharded(prob, intr, cfg, mesh)
+    assert res.rays.shape[0] % 8 == 0
+    assert float(res.cost) < float(res.initial_cost)
