@@ -1,0 +1,134 @@
+"""SIFT-style descriptors at fixed-capacity keypoint tables.
+
+TPU-native replacement for the descriptor half of the reference's OpenCV
+SIFT (``slam_system/image_process.py`` ``detect_compute_sift`` — SURVEY.md
+§2 layer 3, §8.5): a 4x4-cell x 8-orientation gradient histogram over a
+16x16 patch, Gaussian-weighted, bilinearly soft-binned over space and
+orientation, L2-normalized with the standard 0.2 clip-and-renormalize.
+
+We compute the *upright* variant (no per-keypoint dominant-orientation
+rotation): PTZ broadcast cameras pan/tilt/zoom but do not roll, so patch
+orientation is stable across frames and the rotation step would only add
+gather traffic. This matches how the reference's matches behave on its
+footage while keeping the kernel one fused gather + dense einsum.
+
+Shapes are static: (K, 2) keypoints in, (K, 128) descriptors out, with the
+input validity mask passed through. The whole thing is jit/vmap-friendly
+batched math — patch extraction is one gather, and the histogram
+accumulation is an einsum over precomputed soft-binning weights, which XLA
+maps onto the MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+PATCH = 16          # patch side (pixels)
+CELLS = 4           # spatial cells per side
+ORI_BINS = 8
+DESC_DIM = CELLS * CELLS * ORI_BINS  # 128
+
+
+def _patch_grid() -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample offsets relative to the keypoint: PATCH x PATCH centered."""
+    c = (PATCH - 1) / 2.0
+    off = jnp.arange(PATCH, dtype=jnp.float32) - c
+    dy, dx = jnp.meshgrid(off, off, indexing="ij")
+    return dy.reshape(-1), dx.reshape(-1)  # (P*P,)
+
+
+def _spatial_weights() -> jnp.ndarray:
+    """(P*P, CELLS*CELLS) bilinear cell weights x Gaussian window."""
+    dy, dx = _patch_grid()
+    sigma = PATCH / 2.0
+    gauss = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
+    # cell coordinate in [ -0.5, CELLS-0.5 ]
+    cell = (jnp.stack([dy, dx], -1) + PATCH / 2.0) / (PATCH / CELLS) - 0.5
+    w = []
+    for cy in range(CELLS):
+        for cx in range(CELLS):
+            wy = jnp.clip(1.0 - jnp.abs(cell[:, 0] - cy), 0.0, 1.0)
+            wx = jnp.clip(1.0 - jnp.abs(cell[:, 1] - cx), 0.0, 1.0)
+            w.append(wy * wx)
+    return jnp.stack(w, -1) * gauss[:, None]  # (P*P, C*C)
+
+
+@partial(jax.jit, static_argnames=())
+def describe_keypoints(
+    img: jax.Array, xy: jax.Array, valid: jax.Array
+) -> jax.Array:
+    """Compute (K, 128) unit-norm upright-SIFT descriptors.
+
+    Args:
+      img: (H, W) grayscale float image.
+      xy: (K, 2) subpixel keypoint positions (x, y).
+      valid: (K,) bool; invalid rows return zero descriptors.
+
+    Returns:
+      (K, 128) fp32, L2-normalized per row (zeros where invalid).
+    """
+    img = img.astype(jnp.float32)
+    h, w = img.shape
+
+    # image gradients once (shared across keypoints)
+    p = jnp.pad(img, 1, mode="edge")
+    gx = 0.5 * (p[1:-1, 2:] - p[1:-1, :-2])
+    gy = 0.5 * (p[2:, 1:-1] - p[:-2, 1:-1])
+
+    dy, dx = _patch_grid()                   # (P2,)
+    sy = xy[:, 1:2] + dy[None, :]            # (K, P2) sample rows
+    sx = xy[:, 0:1] + dx[None, :]
+
+    # bilinear sample both gradient maps at (sy, sx)
+    y0 = jnp.clip(jnp.floor(sy), 0, h - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(sx), 0, w - 2).astype(jnp.int32)
+    fy = jnp.clip(sy - y0, 0.0, 1.0)
+    fx = jnp.clip(sx - x0, 0.0, 1.0)
+
+    def sample(m):
+        m00 = m[y0, x0]
+        m01 = m[y0, x0 + 1]
+        m10 = m[y0 + 1, x0]
+        m11 = m[y0 + 1, x0 + 1]
+        return (
+            m00 * (1 - fy) * (1 - fx)
+            + m01 * (1 - fy) * fx
+            + m10 * fy * (1 - fx)
+            + m11 * fy * fx
+        )
+
+    gxs = sample(gx)                          # (K, P2)
+    gys = sample(gy)
+    mag = jnp.sqrt(gxs * gxs + gys * gys + 1e-12)
+    ori = jnp.arctan2(gys, gxs)               # [-pi, pi)
+
+    # soft orientation binning: linear split across the two nearest bins
+    b = (ori / (2.0 * jnp.pi) + 0.5) * ORI_BINS  # [0, 8)
+    b0 = jnp.floor(b)
+    fb = b - b0
+    b0i = jnp.mod(b0.astype(jnp.int32), ORI_BINS)
+    b1i = jnp.mod(b0i + 1, ORI_BINS)
+    onehot0 = jax.nn.one_hot(b0i, ORI_BINS, dtype=jnp.float32)
+    onehot1 = jax.nn.one_hot(b1i, ORI_BINS, dtype=jnp.float32)
+    ori_w = onehot0 * (1.0 - fb)[..., None] + onehot1 * fb[..., None]
+
+    spatial = _spatial_weights()              # (P2, C2)
+    # hist[k, c, o] = sum_p mag[k,p] * spatial[p,c] * ori_w[k,p,o]
+    hist = jnp.einsum(
+        "kp,pc,kpo->kco", mag, spatial, ori_w,
+        preferred_element_type=jnp.float32,
+    )
+    desc = hist.reshape(-1, DESC_DIM)
+
+    # SIFT normalization: L2 -> clip 0.2 -> L2
+    desc = desc / jnp.maximum(
+        jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-9
+    )
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / jnp.maximum(
+        jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-9
+    )
+    return jnp.where(valid[:, None], desc, 0.0)

@@ -1,0 +1,202 @@
+"""Vision kernel tests: Harris detect, descriptors, fused Pallas matcher.
+
+Strategy per SURVEY.md §6: NumPy oracles for the response math, jax
+reference vs Pallas parity (interpret mode on the CPU test backend), and
+behavioral tests (known corners detected, shifted images re-matched).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptzjax import match as matchlib
+from ptzjax.kernels import detect as detlib
+from ptzjax.kernels.descriptor import describe_keypoints
+from ptzjax.kernels.detect import detect_keypoints, harris_response
+from ptzjax.kernels.detect_pallas import harris_nms_pallas
+from ptzjax.kernels.match import match_pallas
+from tests.oracle.harris_np import harris_np, nms3_np
+
+
+def _texture(h=96, w=160, seed=0):
+    """Smooth random texture: generic corners everywhere."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(h // 8 + 1, w // 8 + 1))
+    img = np.kron(base, np.ones((8, 8)))[:h, :w]
+    # light smoothing so gradients are informative
+    from tests.oracle.harris_np import smooth5_np
+
+    return smooth5_np(smooth5_np(img)).astype(np.float32)
+
+
+def _corner_image(h=128, w=192):
+    """Bright axis-aligned squares -> corners at known positions."""
+    img = np.zeros((h, w), np.float32)
+    corners = []
+    for cy in range(24, h - 24, 32):
+        for cx in range(24, w - 24, 32):
+            img[cy : cy + 9, cx : cx + 9] = 1.0
+            corners.append((cx, cy))  # top-left corner of each square
+    return img, np.array(corners, np.float32)
+
+
+class TestHarris:
+    def test_response_matches_numpy_oracle(self):
+        img = _texture()
+        got = np.asarray(harris_response(jnp.asarray(img)))
+        want = harris_np(img)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-7)
+
+    def test_pallas_matches_jax_interior(self):
+        img = _texture(h=100, w=200, seed=3)
+        resp_j = np.asarray(harris_response(jnp.asarray(img)))
+        sup_j = np.asarray(detlib._nms3(jnp.asarray(resp_j)))
+        resp_p, sup_p = harris_nms_pallas(jnp.asarray(img))
+        b = 8  # border: edge-padding order differs within 4 px (documented)
+        np.testing.assert_allclose(
+            np.asarray(resp_p)[b:-b, b:-b], resp_j[b:-b, b:-b],
+            rtol=1e-4, atol=1e-7,
+        )
+        # NMS keep/suppress decisions must agree exactly in the interior
+        keep_j = sup_j[b:-b, b:-b] > -1e29
+        keep_p = np.asarray(sup_p)[b:-b, b:-b] > -1e29
+        np.testing.assert_array_equal(keep_p, keep_j)
+
+    def test_detect_finds_known_corners(self):
+        img, corners = _corner_image()
+        kp = detect_keypoints(jnp.asarray(img), max_keypoints=64)
+        xy = np.asarray(kp.xy)[np.asarray(kp.valid)]
+        assert len(xy) >= len(corners)  # each square has 4 corners
+        # every marked square corner should have a detection within 1.5 px
+        for cx, cy in corners:
+            d = np.hypot(xy[:, 0] - (cx - 0.5), xy[:, 1] - (cy - 0.5))
+            assert d.min() < 1.5, (cx, cy, d.min())
+
+    def test_detect_pallas_path_matches_jax_path(self):
+        img = _texture(h=128, w=256, seed=5)
+        a = detect_keypoints(jnp.asarray(img), 128, use_pallas=False)
+        b = detect_keypoints(jnp.asarray(img), 128, use_pallas=True)
+        na, nb = int(a.valid.sum()), int(b.valid.sum())
+        assert na == nb
+        np.testing.assert_allclose(
+            np.asarray(a.xy)[:na], np.asarray(b.xy)[:nb], atol=1e-3
+        )
+
+    def test_mask_suppresses_detections(self):
+        img, _ = _corner_image()
+        mask = np.ones(img.shape, bool)
+        mask[:, : img.shape[1] // 2] = False  # forbid left half
+        kp = detect_keypoints(jnp.asarray(img), 64, mask=jnp.asarray(mask))
+        xy = np.asarray(kp.xy)[np.asarray(kp.valid)]
+        assert (xy[:, 0] >= img.shape[1] // 2 - 1).all()
+
+
+class TestDescriptor:
+    def test_unit_norm_and_masking(self):
+        img = _texture(seed=1)
+        xy = jnp.asarray([[40.0, 30.0], [80.0, 50.0], [0.0, 0.0]])
+        valid = jnp.asarray([True, True, False])
+        d = describe_keypoints(jnp.asarray(img), xy, valid)
+        n = np.linalg.norm(np.asarray(d), axis=-1)
+        np.testing.assert_allclose(n[:2], 1.0, atol=1e-5)
+        assert n[2] == 0.0
+
+    def test_translation_equivariance(self):
+        """Descriptor at (x, y) of img == descriptor at (x+5, y+3) of the
+        shifted image — the property tracking actually relies on."""
+        img = _texture(h=120, w=160, seed=2)
+        sh = np.zeros_like(img)
+        sh[3:, 5:] = img[:-3, :-5]
+        pts = np.array([[60.0, 40.0], [90.0, 70.0], [40.0, 80.0]], np.float32)
+        v = jnp.ones((3,), bool)
+        d0 = describe_keypoints(jnp.asarray(img), jnp.asarray(pts), v)
+        d1 = describe_keypoints(
+            jnp.asarray(sh), jnp.asarray(pts + np.array([5.0, 3.0])), v
+        )
+        cos = np.sum(np.asarray(d0) * np.asarray(d1), -1)
+        assert (cos > 0.999).all(), cos
+
+    def test_distinct_patches_distinct_descriptors(self):
+        img = _texture(h=120, w=160, seed=4)
+        pts = np.stack(
+            np.meshgrid(np.arange(30, 130, 20), np.arange(30, 90, 20)), -1
+        ).reshape(-1, 2).astype(np.float32)
+        v = jnp.ones((len(pts),), bool)
+        d = np.asarray(describe_keypoints(jnp.asarray(img), jnp.asarray(pts), v))
+        s = d @ d.T
+        off = s - np.diag(np.diag(s))
+        assert off.max() < 0.98  # no two distinct patches collapse
+
+
+class TestMatchPallas:
+    def _data(self, q=70, r=150, dim=64, seed=0):
+        rng = np.random.default_rng(seed)
+        dr = rng.normal(size=(r, dim)).astype(np.float32)
+        dr /= np.linalg.norm(dr, axis=-1, keepdims=True)
+        perm = rng.permutation(r)[:q]
+        dq = dr[perm] + 0.1 * rng.normal(size=(q, dim)).astype(np.float32)
+        dq /= np.linalg.norm(dq, axis=-1, keepdims=True)
+        qv = rng.random(q) > 0.1
+        rv = rng.random(r) > 0.1
+        return (
+            jnp.asarray(dq), jnp.asarray(dr),
+            jnp.asarray(qv), jnp.asarray(rv), perm,
+        )
+
+    def test_parity_with_jax_reference(self):
+        dq, dr, qv, rv, _ = self._data()
+        ref = matchlib.match_descriptors(dq, dr, qv, rv, ratio=0.8)
+        got = match_pallas(dq, dr, qv, rv, ratio=0.8)
+        np.testing.assert_array_equal(np.asarray(ref.ok), np.asarray(got.ok))
+        np.testing.assert_array_equal(
+            np.asarray(ref.idx), np.asarray(got.idx)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.score), np.asarray(got.score), atol=1e-5
+        )
+
+    def test_parity_gated(self):
+        dq, dr, qv, rv, perm = self._data(seed=2)
+        rng = np.random.default_rng(3)
+        xr = jnp.asarray(rng.uniform(0, 500, (dr.shape[0], 2)).astype(np.float32))
+        xq = xr[perm] + jnp.asarray(
+            rng.normal(0, 5, (dq.shape[0], 2)).astype(np.float32)
+        )
+        ref = matchlib.match_gated(
+            dq, xq, dr, xr, qv, rv, gate_px=30.0, ratio=0.9
+        )
+        got = match_pallas(
+            dq, dr, qv, rv, xy_query=xq, xy_ref_pred=xr,
+            gate_px=30.0, ratio=0.9,
+        )
+        np.testing.assert_array_equal(np.asarray(ref.ok), np.asarray(got.ok))
+        np.testing.assert_array_equal(np.asarray(ref.idx), np.asarray(got.idx))
+
+    def test_recovers_planted_correspondence(self):
+        dq, dr, qv, rv, perm = self._data(q=50, r=120, seed=5)
+        got = match_pallas(dq, dr, qv, rv, ratio=0.85)
+        ok = np.asarray(got.ok)
+        idx = np.asarray(got.idx)
+        hits = (idx[ok] == perm[ok]).mean()
+        assert ok.sum() > 20 and hits > 0.95
+
+
+class TestEndToEndFeatures:
+    def test_detect_describe_match_across_shift(self):
+        """Full vision pipeline: detect+describe two shifted frames, match,
+        check the recovered displacement."""
+        img0 = _texture(h=144, w=240, seed=9)
+        img1 = np.zeros_like(img0)
+        img1[:, 7:] = img0[:, :-7]  # shift right by 7 px
+        kp0 = detect_keypoints(jnp.asarray(img0), 96)
+        kp1 = detect_keypoints(jnp.asarray(img1), 96)
+        d0 = describe_keypoints(jnp.asarray(img0), kp0.xy, kp0.valid)
+        d1 = describe_keypoints(jnp.asarray(img1), kp1.xy, kp1.valid)
+        m = match_pallas(d1, d0, kp1.valid, kp0.valid, ratio=0.8)
+        ok = np.asarray(m.ok)
+        assert ok.sum() >= 20, ok.sum()
+        dx = np.asarray(kp1.xy)[ok, 0] - np.asarray(kp0.xy)[np.asarray(m.idx)[ok], 0]
+        dy = np.asarray(kp1.xy)[ok, 1] - np.asarray(kp0.xy)[np.asarray(m.idx)[ok], 1]
+        assert abs(np.median(dx) - 7.0) < 0.3, np.median(dx)
+        assert abs(np.median(dy)) < 0.3, np.median(dy)
