@@ -150,6 +150,105 @@ def render_frame(
     return obs.astype(np.float32), visible, ids.astype(np.int32)
 
 
+class Panorama(NamedTuple):
+    """Static scene texture in ray-angle space (theta, phi).
+
+    The physically faithful image model for a PTZ camera: every frame is a
+    resampling of one fixed panorama through the current (pan, tilt, focal)
+    — the same fact the SLAM math exploits (rays, not 3D points). Rendering
+    frames from it produces photometrically consistent video with exact GT,
+    which is how the full from-pixels stack (detect/describe/match ->
+    EKF/BA) is tested without the reference datasets (SURVEY.md §6 item 2).
+
+    Attributes:
+      tex: (PH, PW) fp32 texture.
+      theta0, phi0: angle of texel (0, 0).
+      dtheta, dphi: radians per texel.
+    """
+
+    tex: np.ndarray
+    theta0: float
+    phi0: float
+    dtheta: float
+    dphi: float
+
+
+def make_panorama(
+    theta_range: tuple[float, float] = (-1.0, 1.0),
+    phi_range: tuple[float, float] = (-0.4, 0.25),
+    texels_per_rad: float = 2500.0,
+    octaves: int = 4,
+    seed: int = 0,
+) -> Panorama:
+    """Multi-octave smoothed-noise texture: corners at many scales, no
+    repeating structure (every Harris keypoint is locally unique)."""
+    rng = np.random.default_rng(seed + 101)
+    pw = int((theta_range[1] - theta_range[0]) * texels_per_rad)
+    ph = int((phi_range[1] - phi_range[0]) * texels_per_rad)
+    tex = np.zeros((ph, pw), np.float32)
+    for o in range(octaves):
+        step = 1 << (o + 3)  # 8, 16, 32, 64 texel features
+        base = rng.normal(size=(ph // step + 2, pw // step + 2)).astype(np.float32)
+        yy = np.arange(ph) / step
+        xx = np.arange(pw) / step
+        y0 = yy.astype(int)
+        x0 = xx.astype(int)
+        fy = (yy - y0)[:, None]
+        fx = (xx - x0)[None, :]
+        interp = (
+            base[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+            + base[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
+            + base[np.ix_(y0 + 1, x0)] * fy * (1 - fx)
+            + base[np.ix_(y0 + 1, x0 + 1)] * fy * fx
+        )
+        tex += interp / (o + 1)
+    tex = (tex - tex.mean()) / (tex.std() + 1e-9)
+    return Panorama(
+        tex=tex,
+        theta0=theta_range[0],
+        phi0=phi_range[0],
+        dtheta=(theta_range[1] - theta_range[0]) / pw,
+        dphi=(phi_range[1] - phi_range[0]) / ph,
+    )
+
+
+def render_image(
+    pano: Panorama,
+    camera: np.ndarray,
+    intr: Intrinsics,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Render one (height, width) frame: back-project every pixel to its ray
+    and bilinearly sample the panorama (exact PTZ image formation,
+    SURVEY.md §8.1)."""
+    cam = np.asarray(camera, np.float64)
+    cx = float(intr.cx)
+    cy = float(intr.cy)
+    x = np.arange(width, dtype=np.float64)[None, :] - cx
+    y = np.arange(height, dtype=np.float64)[:, None] - cy
+    u = np.arctan2(x, cam[2])
+    theta = cam[0] + u
+    phi = cam[1] + np.arctan2(-y * np.cos(u), cam[2])
+    tx = (theta - pano.theta0) / pano.dtheta
+    ty = (phi - pano.phi0) / pano.dphi
+    ph, pw = pano.tex.shape
+    tx = np.clip(tx, 0, pw - 2)
+    ty = np.clip(ty, 0, ph - 2)
+    x0 = tx.astype(int)
+    y0 = ty.astype(int)
+    fx = (tx - x0).astype(np.float32)
+    fy = (ty - y0).astype(np.float32)
+    t = pano.tex
+    img = (
+        t[y0, x0] * (1 - fy) * (1 - fx)
+        + t[y0, x0 + 1] * (1 - fy) * fx
+        + t[y0 + 1, x0] * fy * (1 - fx)
+        + t[y0 + 1, x0 + 1] * fy * fx
+    )
+    return img.astype(np.float32)
+
+
 def render_sequence_padded(
     seq: SyntheticSequence,
     max_obs: int,

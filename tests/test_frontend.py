@@ -1,0 +1,101 @@
+"""From-pixels integration: panorama-rendered video -> vision kernels ->
+SLAM loop, judged against the ground-truth trajectory (SURVEY.md §6 items
+2-3: the synthetic oracle extended to real image formation)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ptzjax import synth
+from ptzjax.config import SLAMConfig
+from ptzjax.frontend import extract_features
+from ptzjax.geometry import Intrinsics, project_rays
+from ptzjax.slam import PTZSlam
+
+W, H = 640, 360
+
+
+def _cfg():
+    return SLAMConfig(
+        image_width=W,
+        image_height=H,
+        max_keypoints=160,
+        max_rays=96,
+        max_map_rays=1024,
+        max_keyframes=16,
+        kf_desc_dim=128,
+        sigma_obs=1.0,
+        min_inliers=10,
+    )
+
+
+def _render(num_frames, f0=1100.0, pan_amp=0.12, f_amp=60.0, seed=0):
+    pano = synth.make_panorama(
+        theta_range=(-0.6, 0.6), phi_range=(-0.35, 0.2),
+        texels_per_rad=2200.0, seed=seed,
+    )
+    cams = synth.make_trajectory(
+        num_frames, pan_amp=pan_amp, tilt0=-0.05, tilt_amp=0.02,
+        f0=f0, f_amp=f_amp, period=num_frames * 1.6, seed=seed,
+    )
+    intr = Intrinsics.create(W / 2.0, H / 2.0)
+    imgs = np.stack(
+        [synth.render_image(pano, c, intr, W, H) for c in cams]
+    )
+    return imgs, cams, intr
+
+
+class TestVisionGeometryConsistency:
+    def test_matches_obey_gt_projection(self):
+        """Keypoints matched across two frames must displace exactly as the
+        GT cameras predict (vision stack is geometrically faithful)."""
+        imgs, cams, intr = _render(2, seed=3)
+        cfg = _cfg()
+        from ptzjax.match import match_descriptors
+
+        xy0, d0, v0 = extract_features(
+            jnp.asarray(imgs[0]), cfg, use_pallas=False
+        )
+        xy1, d1, v1 = extract_features(
+            jnp.asarray(imgs[1]), cfg, use_pallas=False
+        )
+        m = match_descriptors(d1, d0, v1, v0, ratio=0.8)
+        ok = np.asarray(m.ok)
+        assert ok.sum() > 40, ok.sum()
+        # transfer matched frame-0 points through GT geometry into frame 1
+        from ptzjax.geometry import back_project_pixels
+
+        src = jnp.asarray(xy0)[jnp.asarray(m.idx)]
+        rays = back_project_pixels(jnp.asarray(cams[0]), src, intr)
+        pred = project_rays(jnp.asarray(cams[1]), rays, intr)
+        err = np.linalg.norm(np.asarray(pred) - np.asarray(xy1), axis=-1)[ok]
+        assert np.median(err) < 0.7, np.median(err)
+        assert (err < 3.0).mean() > 0.9
+
+
+class TestFromPixelsSLAM:
+    def test_tracks_rendered_sequence(self):
+        frames = 40
+        imgs, cams, intr = _render(frames, seed=1)
+        cfg = _cfg()
+        slam = PTZSlam(cfg, intr)
+
+        feats = [
+            extract_features(jnp.asarray(im), cfg, use_pallas=False)
+            for im in imgs
+        ]
+        state = slam.init(*feats[0], cams[0])
+        xy = jnp.stack([f[0] for f in feats[1:]])
+        desc = jnp.stack([f[1] for f in feats[1:]])
+        valid = jnp.stack([f[2] for f in feats[1:]])
+        state, infos = slam.run_segment(state, xy, desc, valid)
+
+        pose = np.asarray(infos.pose)
+        lost = np.asarray(infos.lost)
+        assert not lost.any(), f"lost at frames {np.nonzero(lost)[0]}"
+        pan_err = np.abs(pose[:, 0] - cams[1:, 0])
+        tilt_err = np.abs(pose[:, 1] - cams[1:, 1])
+        f_err = np.abs(pose[:, 2] - cams[1:, 2])
+        # bounds: subpixel detector noise at f~1100 px -> ~1e-3 rad scale
+        assert pan_err.mean() < 2.5e-3, pan_err.mean()
+        assert tilt_err.mean() < 2.5e-3, tilt_err.mean()
+        assert f_err.mean() < 25.0, f_err.mean()
