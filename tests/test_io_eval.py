@@ -1,0 +1,130 @@
+"""Tests for sequence I/O, the eval harness, and checkpoint/resume."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptzjax import checkpoint, io, synth
+from ptzjax.config import SLAMConfig
+from ptzjax.eval import reprojection_rmse, trajectory_errors
+from ptzjax.geometry import Intrinsics
+
+
+class TestAnnotations:
+    def test_npz_roundtrip(self, tmp_path):
+        cams = np.random.default_rng(0).normal(size=(20, 3)).astype(np.float32)
+        intr = Intrinsics.create(640.0, 360.0)
+        p = str(tmp_path / "ann.npz")
+        io.save_annotations_npz(p, cams, intr, [f"f{i:04d}.jpg" for i in range(20)])
+        ann = io.load_annotations(p)
+        np.testing.assert_allclose(ann.cameras, cams)
+        assert float(ann.intr.cx) == 640.0
+        assert len(ann.image_names) == 20
+
+    def test_mat_plain_array_degrees(self, tmp_path):
+        import scipy.io as sio
+
+        # reference-style: (T, 3) with pan/tilt in DEGREES
+        cams_deg = np.stack(
+            [np.linspace(-30, 30, 10), np.full(10, -9.0), np.full(10, 3000.0)],
+            axis=-1,
+        )
+        p = str(tmp_path / "seq.mat")
+        sio.savemat(p, {"ptz": cams_deg})
+        ann = io.load_annotations(p)
+        np.testing.assert_allclose(
+            ann.cameras[:, 0], np.deg2rad(cams_deg[:, 0]), atol=1e-6
+        )
+        np.testing.assert_allclose(ann.cameras[:, 2], 3000.0)
+
+    def test_mat_missing_key_raises(self, tmp_path):
+        import scipy.io as sio
+
+        p = str(tmp_path / "bad.mat")
+        sio.savemat(p, {"unrelated": np.zeros(3)})
+        with pytest.raises(ValueError, match="no annotation key"):
+            io.load_annotations(p)
+
+    def test_boxes_to_mask(self):
+        m = io.boxes_to_mask(
+            np.array([[10, 10, 20, 30]], np.float32), 64, 64, dilate=2
+        )
+        assert not m[15, 15] and not m[9, 9]  # inside + dilated rim
+        assert m[40, 40] and m[2, 2]
+
+    def test_jsonl_writer(self, tmp_path):
+        p = str(tmp_path / "log.jsonl")
+        io.write_trajectory_jsonl(
+            p, [{"frame": 0, "pose": np.array([1.0, 2.0, 3.0])}]
+        )
+        rec = json.loads(open(p).read().strip())
+        assert rec["pose"] == [1.0, 2.0, 3.0]
+
+
+class TestEval:
+    def test_trajectory_errors_known_values(self):
+        gt = np.zeros((4, 3))
+        pred = gt + np.array([np.deg2rad(0.5), np.deg2rad(-0.25), 10.0])
+        e = trajectory_errors(pred, gt)
+        assert abs(e.pan_mae_deg - 0.5) < 1e-6
+        assert abs(e.tilt_mae_deg - 0.25) < 1e-6
+        assert abs(e.focal_mae_px - 10.0) < 1e-6
+        assert abs(e.pan_rmse_deg - 0.5) < 1e-6
+
+    def test_reprojection_rmse_zero_and_positive(self):
+        intr = Intrinsics.create(640.0, 360.0)
+        gt = synth.make_trajectory(6, seed=1)
+        assert reprojection_rmse(gt, gt, intr, 1280, 720) < 1e-4
+        pred = gt + np.array([1e-3, 0, 0], np.float32)
+        r = reprojection_rmse(pred, gt, intr, 1280, 720)
+        # 1 mrad pan at f ~ 2500 px => ~2.5 px shift
+        assert 1.5 < r < 4.0, r
+
+
+class TestCheckpoint:
+    def test_slam_state_roundtrip(self, tmp_path):
+        from ptzjax.features import synth_features
+        from ptzjax.slam import PTZSlam
+
+        cfg = SLAMConfig(
+            max_rays=16, max_keypoints=32, max_map_rays=64, max_keyframes=4,
+            kf_desc_dim=16,
+        )
+        seq = synth.make_sequence(num_frames=3, num_rays=200, seed=0)
+        rng = np.random.default_rng(0)
+        desc = rng.normal(size=(200, 16)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        seq = seq._replace(descriptors=desc)
+        slam = PTZSlam(cfg, seq.intr)
+        f0, _ = synth_features(seq, 0, cfg.max_keypoints)
+        state = slam.init(f0.xy, f0.desc, f0.valid, seq.cameras[0])
+        f1, _ = synth_features(seq, 1, cfg.max_keypoints)
+        state, _ = slam.step(state, f1.xy, f1.desc, f1.valid)
+
+        p = str(tmp_path / "state.npz")
+        checkpoint.save_pytree(p, state)
+        fresh = slam.init(f0.xy, f0.desc, f0.valid, seq.cameras[0])
+        restored = checkpoint.load_pytree(p, fresh)
+
+        # resuming from the restored state is identical to continuing
+        f2, _ = synth_features(seq, 2, cfg.max_keypoints)
+        a, _ = slam.step(state, f2.xy, f2.desc, f2.valid)
+        b, _ = slam.step(restored, f2.xy, f2.desc, f2.valid)
+        np.testing.assert_allclose(
+            np.asarray(a.ekf.pose), np.asarray(b.ekf.pose), atol=1e-6
+        )
+
+    def test_structure_mismatch_raises(self, tmp_path):
+        p = str(tmp_path / "x.npz")
+        checkpoint.save_pytree(p, {"a": jnp.zeros(3)})
+        with pytest.raises(ValueError, match="structure mismatch"):
+            checkpoint.load_pytree(p, {"b": jnp.zeros(3)})
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        p = str(tmp_path / "y.npz")
+        checkpoint.save_pytree(p, {"a": jnp.zeros(3)})
+        with pytest.raises(ValueError, match="capacity/config changed"):
+            checkpoint.load_pytree(p, {"a": jnp.zeros(5)})
