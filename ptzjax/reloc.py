@@ -97,6 +97,44 @@ def solve_pose(
     return jax.lax.fori_loop(0, iters, body, init_pose)
 
 
+def solve_from_correspondences(
+    mrays: jax.Array,
+    xy: jax.Array,
+    w: jax.Array,
+    intr: Intrinsics,
+    cfg: SLAMConfig,
+    f_range: tuple[float, float] = (800.0, 6000.0),
+    num_f: int = 32,
+    tol_px: float = 8.0,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Pose from 2D<->ray correspondences: focal-grid vote -> two rounds of
+    gate + Huber-GN refine. Shared by the keyframe path (descriptor match vs
+    the ray store) and the native forest path (``ptzjax.reloc_forest``),
+    mirroring the reference's two relocalization variants (SURVEY.md §1
+    item 4, §4.4).
+
+    Returns:
+      (pose (3,), inlier_mask (Q,), num_inliers (), success ()).
+    """
+    fgrid = jnp.exp(
+        jnp.linspace(jnp.log(f_range[0]), jnp.log(f_range[1]), num_f)
+    ).astype(jnp.float32)
+    poses = jax.vmap(lambda f: _vote_pose(f, mrays, xy, w, intr))(fgrid)
+    counts = jax.vmap(
+        lambda p: _count_inliers(p, mrays, xy, w, intr, 2 * tol_px)[1]
+    )(poses)
+    best = poses[jnp.argmax(counts)]
+
+    # refine on the coarse inlier set, then re-gate and refine once more
+    inl0, _ = _count_inliers(best, mrays, xy, w, intr, 4 * tol_px)
+    pose1 = solve_pose(mrays, xy, inl0, intr, best, iters=cfg.reloc_iters)
+    inl1, n1 = _count_inliers(pose1, mrays, xy, w, intr, tol_px)
+    pose2 = solve_pose(mrays, xy, inl1, intr, pose1, iters=cfg.reloc_iters)
+    inl2, n2 = _count_inliers(pose2, mrays, xy, w, intr, tol_px)
+    success = n2 >= cfg.reloc_min_matches
+    return pose2, inl2, n2, success
+
+
 def relocalize(
     desc: jax.Array,
     xy: jax.Array,
@@ -113,25 +151,10 @@ def relocalize(
         desc, ray_store.desc, valid, ray_store.valid, ratio=cfg.ratio_test
     )
     mrays = ray_store.rays[m.idx]                    # (Q, 2)
-    w = m.ok
-
-    fgrid = jnp.exp(
-        jnp.linspace(jnp.log(f_range[0]), jnp.log(f_range[1]), num_f)
-    ).astype(jnp.float32)
-    poses = jax.vmap(lambda f: _vote_pose(f, mrays, xy, w, intr))(fgrid)
-    counts = jax.vmap(
-        lambda p: _count_inliers(p, mrays, xy, w, intr, 2 * tol_px)[1]
-    )(poses)
-    best = poses[jnp.argmax(counts)]
-
-    # refine on the coarse inlier set, then re-gate and refine once more
-    inl0, _ = _count_inliers(best, mrays, xy, w, intr, 4 * tol_px)
-    pose1 = solve_pose(mrays, xy, inl0, intr, best, iters=cfg.reloc_iters)
-    inl1, n1 = _count_inliers(pose1, mrays, xy, w, intr, tol_px)
-    pose2 = solve_pose(mrays, xy, inl1, intr, pose1, iters=cfg.reloc_iters)
-    inl2, n2 = _count_inliers(pose2, mrays, xy, w, intr, tol_px)
-
-    success = n2 >= cfg.reloc_min_matches
+    pose2, inl2, n2, success = solve_from_correspondences(
+        mrays, xy, m.ok, intr, cfg, f_range=f_range, num_f=num_f,
+        tol_px=tol_px,
+    )
     return RelocResult(
         pose=pose2,
         inliers=n2,
