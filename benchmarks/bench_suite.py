@@ -1,0 +1,343 @@
+"""Benchmark suite: one JSON line per benchmark + a markdown report.
+
+Covers the BASELINE.md configs measurable in this environment:
+  - online_slam_fps_1chip (config 4): full per-frame loop under lax.scan
+  - ba_solve (config 3): LM/Schur wall time on-chip vs fp64 scipy TRF on
+    the identical problem
+  - kernel microbenches: fused Harris+NMS, fused matcher (per-call, fenced)
+  - reloc_forest: native train + query throughput
+  - dist BA shard-count scaling on the virtual CPU mesh (functional; real
+    scaling needs >= 2 hosts — config 5)
+
+Usage: python benchmarks/bench_suite.py [--out benchmarks/RESULTS.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_online_slam() -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptzjax import synth
+    from ptzjax.config import SLAMConfig
+    from ptzjax.features import synth_features
+    from ptzjax.slam import PTZSlam
+
+    cfg = SLAMConfig(
+        max_rays=128, max_keypoints=256, max_map_rays=2048, max_keyframes=32,
+        kf_desc_dim=128, sigma_obs=0.7,
+    )
+    frames = 240
+    seq = synth.make_sequence(
+        num_frames=frames, num_rays=2500, pan_amp=0.28, tilt_amp=0.03,
+        f_amp=300.0, period=frames * 1.4, seed=5,
+    )
+    feats = [
+        synth_features(seq, k, cfg.max_keypoints, noise_px=0.5)[0]
+        for k in range(frames)
+    ]
+    xy = jnp.asarray(np.stack([f.xy for f in feats]))
+    desc = jnp.asarray(np.stack([f.desc for f in feats]))
+    valid = jnp.asarray(np.stack([f.valid for f in feats]))
+    slam = PTZSlam(cfg, seq.intr)
+    state = slam.init(feats[0].xy, feats[0].desc, feats[0].valid, seq.cameras[0])
+    s2, _ = slam.run_segment(state, xy[1:], desc[1:], valid[1:])
+    jax.block_until_ready(s2)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s2, _ = slam.run_segment(state, xy[1:], desc[1:], valid[1:])
+        jax.block_until_ready(s2)
+        best = min(best, time.perf_counter() - t0)
+    fps = (frames - 1) / best
+    return {
+        "metric": "online_slam_fps_1chip", "value": round(fps, 1),
+        "unit": "frames/s", "vs_baseline": round(fps / 30.0, 2),
+    }
+
+
+def _make_ba_problem(k=32, m=4096, c=6, seed=0):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptzjax import ba
+    from ptzjax.geometry import Intrinsics, project_rays
+
+    rng = np.random.default_rng(seed)
+    intr = Intrinsics.create(640.0, 360.0)
+    cams_gt = jnp.asarray(
+        np.stack([np.linspace(0, 0.5, k), np.full(k, -0.06),
+                  np.linspace(2000, 2800, k)], -1), jnp.float32,
+    )
+    rays_gt = jnp.asarray(
+        np.stack([rng.uniform(0, 0.5, m), rng.uniform(-0.2, 0.05, m)], -1),
+        jnp.float32,
+    )
+    obs_cam = jnp.asarray(rng.integers(0, k, (m, c)), jnp.int32)
+    obs_pix = jax.vmap(
+        lambda r, oc: project_rays(
+            cams_gt[oc], jnp.broadcast_to(r, (c, 2))[:, None, :], intr
+        )[:, 0, :]
+    )(rays_gt, obs_cam)
+    obs_pix = obs_pix + jnp.asarray(rng.normal(0, 0.5, obs_pix.shape), jnp.float32)
+    prob = ba.BAProblem(
+        cams=cams_gt + jnp.asarray(
+            rng.normal(0, 4e-3, (k, 3)), jnp.float32
+        ) * jnp.array([1.0, 1.0, 2500.0]),
+        rays=rays_gt + jnp.asarray(rng.normal(0, 2e-3, (m, 2)), jnp.float32),
+        obs_pix=obs_pix,
+        obs_cam=obs_cam,
+        obs_w=jnp.ones((m, c), jnp.float32),
+        cam_free=jnp.asarray([False] + [True] * (k - 1)),
+    )
+    return prob, intr
+
+
+def bench_ba() -> list[dict]:
+    import jax
+    import numpy as np
+    import scipy.optimize
+    import scipy.sparse
+
+    from ptzjax import ba
+    from ptzjax.config import SLAMConfig
+
+    prob, intr = _make_ba_problem()
+    cfg = SLAMConfig(ba_iters=20)
+    run = jax.jit(lambda p: ba.run(p, intr, cfg))
+    res = run(prob)
+    jax.block_until_ready(res)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = run(prob)
+        jax.block_until_ready(res)
+        best = min(best, time.perf_counter() - t0)
+    k = prob.cams.shape[0]
+    m = prob.rays.shape[0]
+    nobs = int(np.asarray(prob.obs_w).sum())
+
+    # fp64 scipy TRF on the identical problem (the reference's solver class)
+    cams0 = np.asarray(prob.cams, np.float64)
+    rays0 = np.asarray(prob.rays, np.float64)
+    obs_pix = np.asarray(prob.obs_pix, np.float64)
+    obs_cam = np.asarray(prob.obs_cam)
+    cx, cy = float(intr.cx), float(intr.cy)
+
+    def unpack(x):
+        return x[: 3 * k].reshape(k, 3), x[3 * k :].reshape(m, 2)
+
+    def residual(x):
+        cams, rays = unpack(x)
+        c = cams[obs_cam]                      # (m, C, 3)
+        u = rays[:, None, 0] - c[..., 0]
+        v = rays[:, None, 1] - c[..., 1]
+        f = c[..., 2]
+        px = f * np.tan(u) + cx
+        py = -f * np.tan(v) / np.cos(u) + cy
+        r = np.stack([px, py], -1) - obs_pix
+        return r.reshape(-1)
+
+    x0 = np.concatenate([cams0.reshape(-1), rays0.reshape(-1)])
+    # sparsity: each residual block touches its cam (3) and ray (2)
+    rows_c, cols_c, rows_r, cols_r = [], [], [], []
+    cobs = obs_cam.shape[1]
+    for j in range(m):
+        for ci in range(cobs):
+            base = (j * cobs + ci) * 2
+            for rr in range(2):
+                for cc in range(3):
+                    rows_c.append(base + rr)
+                    cols_c.append(obs_cam[j, ci] * 3 + cc)
+                for cc in range(2):
+                    rows_r.append(base + rr)
+                    cols_r.append(3 * k + j * 2 + cc)
+    spar = scipy.sparse.coo_matrix(
+        (np.ones(len(rows_c) + len(rows_r)),
+         (rows_c + rows_r, cols_c + cols_r)),
+        shape=(m * cobs * 2, 3 * k + 2 * m),
+    )
+    t0 = time.perf_counter()
+    scipy.optimize.least_squares(
+        residual, x0, jac_sparsity=spar, method="trf", max_nfev=25
+    )
+    scipy_s = time.perf_counter() - t0
+
+    return [
+        {
+            "metric": "ba_solve_ms_1chip", "value": round(best * 1e3, 1),
+            "unit": f"ms ({k} cams, {m} rays, {nobs} obs, 20 LM iters)",
+            "vs_baseline": round(scipy_s / best, 1),
+        },
+        {
+            "metric": "ba_scipy_reference_ms", "value": round(scipy_s * 1e3, 1),
+            "unit": "ms (same problem, fp64 TRF, CPU)", "vs_baseline": 1.0,
+        },
+    ]
+
+
+def bench_kernels() -> list[dict]:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptzjax import match as matchlib
+    from ptzjax.kernels.detect import harris_response, _nms3
+    from ptzjax.kernels.detect_pallas import harris_nms_pallas
+    from ptzjax.kernels.match import match_pallas
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(720, 1280)).astype(np.float32))
+
+    def timeit(f, *a, n=30):
+        jax.block_until_ready(f(*a))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = f(*a)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    t_pal = timeit(harris_nms_pallas, img)
+    t_jax = timeit(jax.jit(lambda x: _nms3(harris_response(x))), img)
+
+    dq = jnp.asarray(rng.normal(size=(512, 128)).astype(np.float32))
+    dq = dq / jnp.linalg.norm(dq, axis=-1, keepdims=True)
+    dr = jnp.asarray(rng.normal(size=(2048, 128)).astype(np.float32))
+    dr = dr / jnp.linalg.norm(dr, axis=-1, keepdims=True)
+    qv = jnp.ones((512,), bool)
+    rv = jnp.ones((2048,), bool)
+    t_mp = timeit(match_pallas, dq, dr, qv, rv)
+    t_mj = timeit(jax.jit(lambda *x: matchlib.match_descriptors(*x)), dq, dr, qv, rv)
+    return [
+        {"metric": "harris_nms_720p_pallas_ms", "value": round(t_pal, 3),
+         "unit": "ms", "vs_baseline": round(t_jax / t_pal, 2)},
+        {"metric": "match_512x2048_pallas_ms", "value": round(t_mp, 3),
+         "unit": "ms", "vs_baseline": round(t_mj / t_mp, 2)},
+    ]
+
+
+def bench_reloc_forest() -> dict:
+    import numpy as np
+
+    from ptzjax.reloc_forest import RelocForest
+
+    rng = np.random.default_rng(0)
+    n, dim = 4000, 128
+    desc = rng.normal(size=(n, dim)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    rays = rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32)
+    forest = RelocForest()
+    t0 = time.perf_counter()
+    for s in range(0, n, 500):
+        forest.add_keyframe(desc[s : s + 500], rays[s : s + 500])
+    train_s = time.perf_counter() - t0
+    q = desc[:512] + 0.05 * rng.normal(size=(512, dim)).astype(np.float32)
+    forest.predict(q)  # warm
+    t0 = time.perf_counter()
+    for _ in range(10):
+        forest.predict(q)
+    query_ms = (time.perf_counter() - t0) / 10 * 1e3
+    return {
+        "metric": "reloc_forest_query_512_ms", "value": round(query_ms, 2),
+        "unit": f"ms (train {n} samples in {train_s*1e3:.0f} ms)",
+        "vs_baseline": 1.0,
+    }
+
+
+def bench_dist() -> dict:
+    """Shard-count scaling of the BA iteration on the virtual CPU mesh.
+    Functional check only (real ICI scaling needs multi-chip hardware)."""
+    import subprocess
+    import sys
+
+    code = r"""
+import os, time, json
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS","") + " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+sys_path_added = True
+from benchmarks.bench_suite import _make_ba_problem
+from ptzjax import dist
+from ptzjax.config import SLAMConfig
+prob, intr = _make_ba_problem(k=16, m=8192, c=6)
+cfg = SLAMConfig(ba_iters=10)
+out = {}
+for nd in (1, 8):
+    mesh = dist.make_mesh(nd)
+    r = dist.run_sharded(prob, intr, cfg, mesh); jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = dist.run_sharded(prob, intr, cfg, mesh); jax.block_until_ready(r)
+    out[nd] = time.perf_counter() - t0
+    out[f"cost{nd}"] = float(r.cost)
+print(json.dumps(out))
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo",
+    )
+    line = r.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert abs(d["cost1"] - d["cost8"]) <= 1e-3 * max(d["cost1"], 1.0)
+    return {
+        "metric": "dist_ba_speedup_8dev_cpu", "value": round(d["1"] / d["8"], 2),
+        "unit": "x (virtual CPU mesh; functional check)",
+        "vs_baseline": round(d["1"] / d["8"], 2),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="benchmarks/RESULTS.md")
+    ap.add_argument(
+        "--only", default=None,
+        help="comma list: slam,ba,kernels,forest,dist",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    wanted = (args.only or "slam,ba,kernels,forest,dist").split(",")
+    results = []
+    if "slam" in wanted:
+        results.append(bench_online_slam())
+    if "ba" in wanted:
+        results.extend(bench_ba())
+    if "kernels" in wanted:
+        results.extend(bench_kernels())
+    if "forest" in wanted:
+        results.append(bench_reloc_forest())
+    if "dist" in wanted:
+        results.append(bench_dist())
+
+    for r in results:
+        print(json.dumps(r))
+
+    backend = jax.default_backend()
+    with open(args.out, "w") as f:
+        f.write(f"# Benchmark results ({backend})\n\n")
+        f.write("| metric | value | unit | vs_baseline |\n|---|---|---|---|\n")
+        for r in results:
+            f.write(
+                f"| {r['metric']} | {r['value']} | {r['unit']} | "
+                f"{r['vs_baseline']} |\n"
+            )
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Experiment runner CLI: ``python -m ptzjax.run``.
+
+The engine's counterpart to the reference's per-dataset driver scripts
+(SURVEY.md §2 layer 8, §4.5): run the online SLAM loop over a sequence,
+optionally bundle-adjust at the end, and emit the §7 observability
+artifacts — per-frame JSONL, an eval-summary JSON against ground truth,
+and a final trajectory .npz.
+
+Modes:
+  --synthetic          keypoint-oracle sequence (no images; EKF/map/BA path)
+  --synthetic-images   panorama-rendered video through the vision kernels
+  --annotation/--images  dataset mode (.mat/.npz annotations + frames)
+
+Example:
+  python -m ptzjax.run --synthetic --frames 240 --out /tmp/run1
+  python -m ptzjax.run --annotation seq.mat --images frames/ --out /tmp/run2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _parse() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="ptzjax SLAM experiment runner")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-images", action="store_true")
+    p.add_argument("--annotation", type=str, default=None)
+    p.add_argument("--images", type=str, default=None)
+    p.add_argument("--frames", type=int, default=240)
+    p.add_argument("--config", type=str, default=None, help="SLAMConfig JSON")
+    p.add_argument("--out", type=str, required=True, help="output directory")
+    p.add_argument("--ba", action="store_true", help="final bundle adjustment")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument(
+        "--platform", type=str, default=None,
+        help="force a jax platform (e.g. cpu); default is the environment's",
+    )
+    return p.parse_args()
+
+
+def main() -> None:
+    args = _parse()
+    os.makedirs(args.out, exist_ok=True)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptzjax import checkpoint as ckpt
+    from ptzjax import eval as evallib
+    from ptzjax import io as iolib
+    from ptzjax import synth
+    from ptzjax.config import SLAMConfig
+    from ptzjax.geometry import Intrinsics
+    from ptzjax.slam import PTZSlam, info_to_dict
+
+    cfg = SLAMConfig()
+    if args.config:
+        cfg = SLAMConfig.from_json(open(args.config).read())
+    cfg = cfg.replace(image_width=args.width, image_height=args.height)
+
+    # --- assemble (features, gt, intr) per mode -----------------------------
+    gt = None
+    if args.synthetic:
+        seq = synth.make_sequence(
+            num_frames=args.frames, num_rays=2500,
+            width=args.width, height=args.height, seed=args.seed,
+        )
+        rng = np.random.default_rng(args.seed)
+        desc = rng.normal(size=(2500, cfg.kf_desc_dim)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        seq = seq._replace(descriptors=desc)
+        from ptzjax.features import synth_features
+
+        feats = [
+            synth_features(seq, k, cfg.max_keypoints, seed=args.seed)[0]
+            for k in range(args.frames)
+        ]
+        feats = [(f.xy, f.desc, f.valid) for f in feats]
+        gt = seq.cameras
+        intr = Intrinsics.create(float(seq.intr.cx), float(seq.intr.cy))
+    elif args.synthetic_images:
+        from ptzjax.frontend import extract_features
+
+        intr = Intrinsics.create(args.width / 2.0, args.height / 2.0)
+        pano = synth.make_panorama(seed=args.seed)
+        gt = synth.make_trajectory(args.frames, seed=args.seed)
+        use_pallas = jax.default_backend() == "tpu"
+        feats = []
+        for c in gt:
+            img = synth.render_image(pano, c, intr, args.width, args.height)
+            feats.append(
+                extract_features(jnp.asarray(img), cfg, use_pallas=use_pallas)
+            )
+    else:
+        if not args.annotation or not args.images:
+            raise SystemExit("dataset mode needs --annotation and --images")
+        from ptzjax.frontend import extract_features
+
+        seqm = iolib.SequenceManager(args.annotation, args.images)
+        intr = seqm.ann.intr
+        gt = seqm.ann.cameras[: args.frames]
+        use_pallas = jax.default_backend() == "tpu"
+        feats = []
+        for k in range(min(args.frames, seqm.length)):
+            img = seqm.get_image(k)
+            mask = seqm.get_mask(k, img.shape[0], img.shape[1])
+            feats.append(
+                extract_features(
+                    jnp.asarray(img), cfg,
+                    mask=None if mask is None else jnp.asarray(mask),
+                    use_pallas=use_pallas,
+                )
+            )
+
+    # --- run ------------------------------------------------------------------
+    slam = PTZSlam(cfg, intr)
+    state = slam.init(*feats[0], gt[0])
+    records = []
+    t0 = time.perf_counter()
+    for k in range(1, len(feats)):
+        state, finfo = slam.step(state, *feats[k])
+        rec = info_to_dict(finfo)
+        rec["frame"] = k
+        records.append(rec)
+        if args.checkpoint_every and k % args.checkpoint_every == 0:
+            ckpt.save_pytree(os.path.join(args.out, f"state_{k:06d}.npz"), state)
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t0
+
+    if args.ba:
+        state, ba_info = slam.bundle_adjust(state)
+        print("BA:", json.dumps(ba_info))
+
+    # --- artifacts --------------------------------------------------------------
+    iolib.write_trajectory_jsonl(os.path.join(args.out, "frames.jsonl"), records)
+    pose = np.stack([r["pose"] for r in records])
+    np.savez(os.path.join(args.out, "trajectory.npz"), pose=pose, gt=gt[1:])
+    summary = {
+        **evallib.trajectory_errors(pose, gt[1 : len(pose) + 1]).as_dict(),
+        "reprojection_rmse_px": evallib.reprojection_rmse(
+            pose, gt[1 : len(pose) + 1], intr, args.width, args.height
+        ),
+        "fps": (len(feats) - 1) / wall,
+        "frames_lost": sum(r["lost"] for r in records),
+        "keyframes": sum(r["keyframe"] for r in records),
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,29 @@
+"""Smoke test for the experiment CLI (reference layer 8 analogue)."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_cli_synthetic_run(tmp_path):
+    out = str(tmp_path / "run")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "ptzjax.run", "--synthetic",
+            "--frames", "30", "--out", out, "--platform", "cpu",
+            "--checkpoint-every", "10",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["frames_lost"] == 0
+    assert summary["pan_mae_deg"] < 0.1
+    assert os.path.exists(os.path.join(out, "frames.jsonl"))
+    assert os.path.exists(os.path.join(out, "trajectory.npz"))
+    assert os.path.exists(os.path.join(out, "state_000010.npz"))
+    # jsonl has one record per processed frame
+    lines = open(os.path.join(out, "frames.jsonl")).read().strip().splitlines()
+    assert len(lines) == 29
