@@ -138,6 +138,18 @@ def time_fn(fn: Callable[[], Any], reps: int = 5, warmup: int = 1) -> Timing:
     )
 
 
+def profile_trace(fn: Callable[[], Any], log_dir: str) -> Any:
+    """Run ``fn`` under a jax.profiler trace (SURVEY.md §7 tracing row).
+
+    Produces a TensorBoard-compatible trace in ``log_dir``; use for kernel
+    time breakdowns on real hardware. Returns fn's (blocked) result.
+    """
+    with jax.profiler.trace(log_dir):
+        out = fn()
+        jax.block_until_ready(out)
+    return out
+
+
 def evaluate_run(
     infos,
     gt_cameras: np.ndarray,

@@ -120,6 +120,59 @@ def match_gated(
     return MatchResult(idx=jnp.where(ok, idx, 0), ok=ok, score=v1)
 
 
+def ransac_pan_tilt(
+    rays: jax.Array,
+    xy: jax.Array,
+    ok: jax.Array,
+    focal: jax.Array,
+    cx: float,
+    cy: float,
+    num_hypotheses: int = 64,
+    inlier_px: float = 3.0,
+    seed: int = 0,
+) -> jax.Array:
+    """Pan-tilt-consistency outlier rejection for 2D<->ray matches.
+
+    TPU-shaped replacement for the reference's RANSAC match filter
+    (``slam_system/image_process.py`` ``run_ransac`` — SURVEY.md §2 layer 3,
+    §8.5): a homography is overkill for a rotating camera, since ONE
+    correspondence determines (pan, tilt) given the focal length. Every
+    hypothesis is a single match's closed-form (pan, tilt) vote; all
+    hypotheses are scored against all matches as one batched (H, Q)
+    computation — no sequential loop.
+
+    Args:
+      rays: (Q, 2) matched ray angles; xy: (Q, 2) pixel positions.
+      ok: (Q,) candidate mask. focal: scalar current focal estimate.
+
+    Returns:
+      (Q,) bool inlier mask (subset of ``ok``).
+    """
+    q = rays.shape[0]
+    u = jnp.arctan2(xy[:, 0] - cx, focal)
+    pan_i = rays[:, 0] - u
+    tilt_i = rays[:, 1] - jnp.arctan2(-(xy[:, 1] - cy) * jnp.cos(u), focal)
+
+    # hypothesis set: the votes of `num_hypotheses` pseudo-random candidates
+    # (falls back to candidate 0's vote where the pick is invalid)
+    key = jax.random.PRNGKey(seed)
+    pick = jax.random.randint(key, (num_hypotheses,), 0, q)
+    first_ok = jnp.argmax(ok)
+    pick = jnp.where(ok[pick], pick, first_ok)
+    h_pan = pan_i[pick]                                      # (H,)
+    h_tilt = tilt_i[pick]
+
+    # score: reproject all matches under each hypothesis (closed form)
+    du = rays[None, :, 0] - h_pan[:, None]                   # (H, Q)
+    dv = rays[None, :, 1] - h_tilt[:, None]
+    px = focal * jnp.tan(du) + cx
+    py = -focal * jnp.tan(dv) / jnp.cos(du) + cy
+    err2 = (px - xy[None, :, 0]) ** 2 + (py - xy[None, :, 1]) ** 2
+    inl = ok[None, :] & (err2 < inlier_px * inlier_px)       # (H, Q)
+    best = jnp.argmax(inl.sum(axis=1))
+    return inl[best]
+
+
 def scatter_to_slots(
     result: MatchResult,
     xy_query: jax.Array,

@@ -128,3 +128,49 @@ class TestCheckpoint:
         checkpoint.save_pytree(p, {"a": jnp.zeros(3)})
         with pytest.raises(ValueError, match="capacity/config changed"):
             checkpoint.load_pytree(p, {"a": jnp.zeros(5)})
+
+
+class TestRansacPanTilt:
+    def test_rejects_outliers(self):
+        import jax.numpy as jnp
+
+        from ptzjax.match import ransac_pan_tilt
+        from ptzjax.geometry import project_rays
+
+        rng = np.random.default_rng(0)
+        intr = Intrinsics.create(640.0, 360.0)
+        cam = jnp.asarray([0.15, -0.05, 2200.0], jnp.float32)
+        rays = jnp.asarray(
+            np.stack([rng.uniform(0.0, 0.3, 80), rng.uniform(-0.15, 0.02, 80)], -1),
+            jnp.float32,
+        )
+        pix = project_rays(cam, rays, intr)
+        pix = pix + jnp.asarray(rng.normal(0, 0.5, pix.shape), jnp.float32)
+        bad = np.zeros(80, bool)
+        bad[rng.choice(80, 20, replace=False)] = True
+        pix = jnp.where(
+            jnp.asarray(bad)[:, None],
+            jnp.asarray(rng.uniform(0, 1000, (80, 2)), jnp.float32),
+            pix,
+        )
+        ok = jnp.ones((80,), bool)
+        inl = np.asarray(
+            ransac_pan_tilt(rays, pix, ok, cam[2], 640.0, 360.0, inlier_px=3.0)
+        )
+        # all kept matches are true inliers; most true inliers kept
+        assert not (inl & bad).any()
+        assert inl[~bad].mean() > 0.9
+
+    def test_profile_trace_writes(self, tmp_path):
+        import jax.numpy as jnp
+
+        from ptzjax.eval import profile_trace
+
+        out = profile_trace(
+            lambda: jnp.ones((64, 64)) @ jnp.ones((64, 64)),
+            str(tmp_path / "trace"),
+        )
+        assert float(out[0, 0]) == 64.0
+        import os
+
+        assert os.path.isdir(str(tmp_path / "trace"))
