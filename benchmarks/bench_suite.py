@@ -227,6 +227,45 @@ def bench_kernels() -> list[dict]:
     ]
 
 
+def bench_flow() -> dict:
+    """Pyramidal LK: track a full 512-keypoint table across one 720p frame
+    pair (the per-frame cost of the KLT frontend mode)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptzjax import synth
+    from ptzjax.geometry import Intrinsics
+    from ptzjax.kernels.flow import lk_track
+
+    pano = synth.make_panorama(seed=0)
+    intr = Intrinsics.create(640.0, 360.0)
+    cam0 = np.array([0.05, -0.05, 2200.0], np.float32)
+    cam1 = cam0 + np.array([0.005, -0.002, 4.0], np.float32)
+    img0 = jnp.asarray(synth.render_image(pano, cam0, intr, 1280, 720))
+    img1 = jnp.asarray(synth.render_image(pano, cam1, intr, 1280, 720))
+    rng = np.random.default_rng(0)
+    xy = jnp.asarray(
+        np.stack([rng.uniform(20, 1260, 512), rng.uniform(20, 700, 512)], -1),
+        jnp.float32,
+    )
+    valid = jnp.ones((512,), bool)
+    r = lk_track(img0, img1, xy, valid)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    n = 30
+    for _ in range(n):
+        r = lk_track(img0, img1, xy, valid)
+    jax.block_until_ready(r)
+    ms = (time.perf_counter() - t0) / n * 1e3
+    ntr = int(np.asarray(r.tracked).sum())
+    return {
+        "metric": "lk_flow_512kp_720p_ms", "value": round(ms, 2),
+        "unit": f"ms ({ntr}/512 tracked, 4 levels, fb check)",
+        "vs_baseline": 1.0,
+    }
+
+
 def bench_reloc_forest() -> dict:
     import numpy as np
 
@@ -302,7 +341,7 @@ def main() -> None:
     ap.add_argument("--out", default="benchmarks/RESULTS.md")
     ap.add_argument(
         "--only", default=None,
-        help="comma list: slam,ba,kernels,forest,dist",
+        help="comma list: slam,ba,kernels,flow,forest,dist",
     )
     args = ap.parse_args()
 
@@ -311,7 +350,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    wanted = (args.only or "slam,ba,kernels,forest,dist").split(",")
+    wanted = (args.only or "slam,ba,kernels,flow,forest,dist").split(",")
     results = []
     if "slam" in wanted:
         results.append(bench_online_slam())
@@ -319,6 +358,8 @@ def main() -> None:
         results.extend(bench_ba())
     if "kernels" in wanted:
         results.extend(bench_kernels())
+    if "flow" in wanted:
+        results.append(bench_flow())
     if "forest" in wanted:
         results.append(bench_reloc_forest())
     if "dist" in wanted:

@@ -29,6 +29,12 @@ class SLAMConfig:
     ransac_iters: int = 128
     ransac_inlier_px: float = 3.0
 
+    # --- optical flow (KLT frontend mode) ---
+    flow_levels: int = 4              # LK pyramid levels
+    flow_patch: int = 13              # LK window side (odd)
+    flow_iters: int = 8               # Newton iterations per level
+    min_refill_dist_px: float = 8.0   # keep fresh detections off live tracks
+
     # --- EKF (SURVEY.md §8.3) ---
     max_rays: int = 256               # N_max tracked rays in the EKF state
     dt: float = 1.0                   # frame interval (state velocities per-frame)
@@ -42,6 +48,9 @@ class SLAMConfig:
     init_vel_std_f: float = 8.0       # focal velocity prior std (px/frame)
     min_inliers: int = 12             # below this => tracking lost
     gate_maha2: float = 9.21          # chi2(2, 0.99) Mahalanobis innovation gate
+    gate_rescue_factor: float = 9.0   # widened-gate factor when the tight gate
+                                      # starves but many matches agree (see
+                                      # ekf.update gate rescue)
     innovation_gate_px: float = 50.0  # absolute innovation ceiling (outliers)
     track_gate_px: float = 60.0       # association search radius (tracking)
     max_missed: int = 10              # frames unobserved before a slot is freed

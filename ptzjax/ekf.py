@@ -174,10 +174,22 @@ def update(
         - (s_i[:, 0, 1] + s_i[:, 1, 0]) * innov[:, 0] * innov[:, 1]
         + s_i[:, 0, 0] * innov[:, 1] ** 2
     ) / jnp.maximum(det, 1e-12)
-    gate_ok = (maha2 < cfg.gate_maha2) & (
-        jnp.linalg.norm(innov, axis=-1) < cfg.innovation_gate_px
+    px_ok = jnp.linalg.norm(innov, axis=-1) < cfg.innovation_gate_px
+    used = offered & (maha2 < cfg.gate_maha2) & px_ok
+
+    # Gate rescue: a camera acceleration beyond the constant-velocity
+    # model's process noise (a broadcast operator reversing a pan) shifts
+    # ALL innovations coherently past the tight gate at once — which is
+    # indistinguishable from "lost" by count alone and used to trigger a
+    # spurious relocalization. If the tight gate starves while a widened
+    # gate admits a LARGE consistent set (true loss leaves only scattered
+    # coincidences, not 3x min_inliers agreeing matches), trust the wide
+    # set; the px ceiling still bounds outliers.
+    used_wide = offered & (maha2 < cfg.gate_rescue_factor * cfg.gate_maha2) & px_ok
+    rescue = (used.sum() < cfg.min_inliers) & (
+        used_wide.sum() >= 3 * cfg.min_inliers
     )
-    used = offered & gate_ok
+    used = jnp.where(rescue, used_wide, used)
     used_f = used.astype(jnp.float32)[:, None]           # (N, 1)
     innov = jnp.where(used[:, None], innov, 0.0)
 

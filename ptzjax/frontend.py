@@ -50,6 +50,77 @@ def extract_features(
     return kp.xy, desc, kp.valid
 
 
+@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def track_features(
+    img_prev: jax.Array,
+    img_next: jax.Array,
+    xy: jax.Array,
+    valid: jax.Array,
+    cfg: SLAMConfig,
+    mask: jax.Array | None = None,
+    use_pallas: bool = True,
+):
+    """KLT-mode frontend step: track the existing keypoint table into the
+    next frame, refill dead slots with fresh detections, refresh descriptors.
+
+    The flow analogue of the reference's per-frame
+    ``optical_flow_matching`` + re-detection loop (SURVEY.md §4.2): LK flow
+    carries keypoints between frames (cheap — no full detect pass needed for
+    surviving points' positions), fresh corners claim the freed slots, and
+    descriptors are recomputed at the new positions so the SLAM loop's gated
+    descriptor re-match re-associates tracked points with their EKF slots
+    essentially for free (same descriptor content, within-gate positions).
+
+    Args:
+      img_prev, img_next: (H, W) float grayscale frames.
+      xy: (K, 2) keypoint table from the previous frame.
+      valid: (K,) bool table mask.
+      mask: optional (H, W) bool detection mask for the refill pass (True
+        where detection is allowed — player-box complement).
+
+    Returns:
+      (xy (K, 2), desc (K, D), valid (K,), tracked (K,)) — ``tracked`` marks
+      rows that survived flow (vs. freshly detected or dead).
+    """
+    from ptzjax.kernels.flow import lk_track
+
+    k = xy.shape[0]
+    res = lk_track(
+        img_prev, img_next, xy, valid,
+        levels=cfg.flow_levels, patch=cfg.flow_patch, iters=cfg.flow_iters,
+        fb_tol=cfg.track_gate_px / 4.0,
+    )
+    tracked = res.tracked
+
+    # refill: detect on the next frame, drop detections that landed on a
+    # surviving track (min-distance suppression), pack into free slots
+    kp = detect_keypoints(
+        img_next,
+        max_keypoints=k,
+        threshold=cfg.detector_threshold,
+        mask=mask,
+        use_pallas=use_pallas,
+    )
+    d2 = ((kp.xy[:, None, :] - res.xy[None, :, :]) ** 2).sum(-1)
+    near_track = (d2 < cfg.min_refill_dist_px**2) & tracked[None, :]
+    fresh = kp.valid & ~near_track.any(axis=1)
+
+    free = ~tracked
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    slot_of_rank = jnp.full((k,), k, jnp.int32).at[
+        jnp.where(free, free_rank, k)
+    ].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
+    fresh_rank = jnp.cumsum(fresh.astype(jnp.int32)) - 1
+    num_free = free.sum()
+    fresh_ok = fresh & (fresh_rank < num_free)
+    target = jnp.where(fresh_ok, slot_of_rank[jnp.clip(fresh_rank, 0, k - 1)], k)
+
+    new_xy = res.xy.at[target].set(kp.xy, mode="drop")
+    new_valid = tracked.at[target].set(True, mode="drop")
+    desc = describe_keypoints(img_next, new_xy, new_valid)
+    return new_xy, desc, new_valid, tracked
+
+
 def extract_sequence(imgs, cfg: SLAMConfig, masks=None, use_pallas: bool = True):
     """Batch feature extraction over a (T, H, W) stack via ``lax.map``
     (sequential on device: one frame's maps live in HBM at a time)."""

@@ -9,11 +9,13 @@ tests assert they agree.
 
 from ptzjax.kernels.detect import detect_keypoints, harris_response
 from ptzjax.kernels.descriptor import describe_keypoints
+from ptzjax.kernels.flow import lk_track
 from ptzjax.kernels.match import match_pallas
 
 __all__ = [
     "detect_keypoints",
     "harris_response",
     "describe_keypoints",
+    "lk_track",
     "match_pallas",
 ]

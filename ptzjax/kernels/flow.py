@@ -1,0 +1,229 @@
+"""Pyramidal Lucas-Kanade optical flow at fixed-capacity keypoint tables.
+
+TPU-native equivalent of the reference's KLT tracking-mode matcher
+(``slam_system/image_process.py`` ``optical_flow_matching`` via
+``cv2.calcOpticalFlowPyrLK`` — SURVEY.md §2 layer 3, §4.2, §8.5). The SLAM
+loop's default association is descriptor re-match (``ptzjax.match``); this
+kernel completes frontend parity and gives a cheaper tracking mode when
+descriptors don't need refreshing every frame.
+
+Design (everything static-shape, one jit):
+  * pyramid: ``levels`` 2x mean-pool downsamples (Python-unrolled — each
+    level is a different static shape).
+  * per level, coarse->fine: classic iterative LK. The template patch and
+    its spatial-gradient normal matrix G (2x2 per keypoint) come from the
+    *previous* frame and stay fixed across iterations; each
+    ``lax.fori_loop`` step resamples the next frame at the current guess,
+    forms the image-difference vector b, and applies the closed-form 2x2
+    solve. All K keypoints advance together under ``vmap``.
+  * patch sampling reuses the contiguous-slice trick from the descriptor
+    kernel: one ``dynamic_slice`` of a (P+1, P+1) window per keypoint plus
+    a 4-term blend of static shifts — every sample of a keypoint shares
+    the same fractional offset, so the blend IS bilinear interpolation.
+    No scattered gathers anywhere (gathers serialize on TPU).
+  * validity: G min-eigenvalue (texturedness, the Shi-Tomasi criterion),
+    in-bounds check, residual bound, and an optional forward-backward
+    consistency pass (track next->prev and demand round-trip < fb_tol px)
+    — the same rejection stack OpenCV pipelines bolt onto KLT.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class FlowResult(NamedTuple):
+    """Tracked keypoints in the next frame.
+
+    Attributes:
+      xy: (K, 2) tracked (x, y) positions.
+      tracked: (K,) bool — input-valid, textured, converged in-bounds.
+      residual: (K,) mean |I_next - I_prev| over the window at convergence,
+        normalized by the template window's std (contrast-invariant).
+    """
+
+    xy: jax.Array
+    tracked: jax.Array
+    residual: jax.Array
+
+
+def _binomial5(a: jax.Array) -> jax.Array:
+    """Separable 5-tap binomial blur (1 4 6 4 1)/16 — the standard pyramid
+    anti-aliasing filter. Edge-padded so borders don't darken."""
+    k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+
+    def conv(x, axis):
+        x = jnp.moveaxis(x, axis, -1)
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(2, 2)], mode="edge")
+        out = sum(k[i] * xp[..., i : i + x.shape[-1]] for i in range(5))
+        return jnp.moveaxis(out, -1, axis)
+
+    return conv(conv(a, 0), 1)
+
+
+def build_pyramid(img: jax.Array, levels: int) -> list[jax.Array]:
+    """Blur-then-2x-subsample pyramid, level 0 = full resolution. Without
+    the blur, fine texture aliases into decorrelated noise at coarse levels
+    and large motions never converge."""
+    img = img.astype(jnp.float32)
+    pyr = [img]
+    for _ in range(1, levels):
+        a = _binomial5(pyr[-1])
+        h, w = a.shape
+        a = a[: h - h % 2, : w - w % 2]
+        pyr.append(a.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)))
+    return pyr
+
+
+def _sample_patches(img: jax.Array, xy: jax.Array, patch: int) -> jax.Array:
+    """(K, patch, patch) bilinear patches centered on subpixel ``xy``.
+
+    Centers follow the descriptor-kernel convention: sample p of a patch
+    sits at xy + (p - (patch-1)/2).
+    """
+    h, w = img.shape
+    c = patch // 2
+    win = patch + 1
+    pad = c + 1
+    pimg = jnp.pad(img, pad, mode="edge")
+
+    y0 = jnp.floor(xy[:, 1] + 0.5).astype(jnp.int32)
+    x0 = jnp.floor(xy[:, 0] + 0.5).astype(jnp.int32)
+    fy = jnp.clip(xy[:, 1] + 0.5 - y0, 0.0, 1.0)[:, None, None]
+    fx = jnp.clip(xy[:, 0] + 0.5 - x0, 0.0, 1.0)[:, None, None]
+    ys = jnp.clip(y0 - c + pad, 0, h + 2 * pad - win)
+    xs = jnp.clip(x0 - c + pad, 0, w + 2 * pad - win)
+    windows = jax.vmap(
+        lambda yy, xx: jax.lax.dynamic_slice(pimg, (yy, xx), (win, win))
+    )(ys, xs)                                            # (K, win, win)
+    return (
+        windows[:, :-1, :-1] * (1 - fy) * (1 - fx)
+        + windows[:, :-1, 1:] * (1 - fy) * fx
+        + windows[:, 1:, :-1] * fy * (1 - fx)
+        + windows[:, 1:, 1:] * fy * fx
+    )                                                    # (K, patch, patch)
+
+
+def _lk_level(prev, nxt, xy_prev, guess, patch: int, iters: int):
+    """One pyramid level of iterative LK for all keypoints.
+
+    Returns (refined guess (K, 2), min_eig (K,), residual (K,)).
+    """
+    # template + fixed spatial gradients from the previous frame
+    tmpl_w = _sample_patches(prev, xy_prev, patch + 2)    # (K, P+2, P+2)
+    tmpl = tmpl_w[:, 1:-1, 1:-1]
+    gx = 0.5 * (tmpl_w[:, 1:-1, 2:] - tmpl_w[:, 1:-1, :-2])
+    gy = 0.5 * (tmpl_w[:, 2:, 1:-1] - tmpl_w[:, :-2, 1:-1])
+    gxx = (gx * gx).sum(axis=(1, 2))
+    gxy = (gx * gy).sum(axis=(1, 2))
+    gyy = (gy * gy).sum(axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    tr = gxx + gyy
+    min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0)))
+    min_eig = min_eig / (patch * patch)  # per-pixel, like cv2's minEigThreshold
+    inv_det = jnp.where(det > 1e-12, 1.0 / jnp.maximum(det, 1e-12), 0.0)
+
+    def body(_, g):
+        cur = _sample_patches(nxt, g, patch)
+        di = tmpl - cur                                   # (K, P, P)
+        bx = (di * gx).sum(axis=(1, 2))
+        by = (di * gy).sum(axis=(1, 2))
+        dx = inv_det * (gyy * bx - gxy * by)
+        dy = inv_det * (gxx * by - gxy * bx)
+        return g + jnp.stack([dx, dy], -1)
+
+    guess = jax.lax.fori_loop(0, iters, body, guess)
+    # residual normalized by template contrast: a converged track scores
+    # ~0.05, a wrong lock on decorrelated texture ~1. This catches the one
+    # failure forward-backward can't — symmetric non-convergence (LK leaves
+    # the point in place in both directions, round-trip error ~0).
+    tstd = tmpl.std(axis=(1, 2))
+    resid = jnp.abs(tmpl - _sample_patches(nxt, guess, patch)).mean(axis=(1, 2))
+    resid = resid / jnp.maximum(tstd, 1e-6)
+    return guess, min_eig, resid
+
+
+def _lk_forward(prev_pyr, next_pyr, xy, patch: int, iters: int):
+    """Coarse-to-fine LK through prebuilt pyramids; returns
+    (xy_next, min_eig@level0, residual@level0)."""
+    levels = len(prev_pyr)
+    scale = 2.0 ** (levels - 1)
+    guess = xy / scale
+    min_eig = resid = None
+    for lvl in range(levels - 1, -1, -1):
+        s = 2.0**lvl
+        guess, min_eig, resid = _lk_level(
+            prev_pyr[lvl], next_pyr[lvl], xy / s, guess, patch, iters
+        )
+        if lvl > 0:
+            guess = guess * 2.0
+    return guess, min_eig, resid
+
+
+@partial(
+    jax.jit,
+    static_argnames=("levels", "patch", "iters", "fb_check"),
+)
+def lk_track(
+    img_prev: jax.Array,
+    img_next: jax.Array,
+    xy: jax.Array,
+    valid: jax.Array,
+    *,
+    levels: int = 4,
+    patch: int = 13,
+    iters: int = 8,
+    min_eig: float = 1e-3,
+    max_residual: float = 0.5,
+    fb_check: bool = True,
+    fb_tol: float = 1.0,
+    border: float = 2.0,
+) -> FlowResult:
+    """Track keypoints from ``img_prev`` to ``img_next``.
+
+    Args:
+      img_prev, img_next: (H, W) float grayscale frames.
+      xy: (K, 2) keypoint positions (x, y) in ``img_prev``.
+      valid: (K,) bool input mask.
+      levels: pyramid levels (handles up to ~``2**levels * patch/2`` px
+        of motion).
+      patch: LK window side (odd).
+      iters: Newton iterations per level.
+      min_eig: Shi-Tomasi per-pixel min-eigenvalue threshold relative to the
+        image's gradient scale (texturedness gate).
+      max_residual: reject tracks whose mean abs window error exceeds this
+        fraction of the template's own contrast (std) — contrast-invariant.
+      fb_check: also track next->prev and reject round-trips > ``fb_tol`` px.
+      border: reject tracks within this many pixels of the image edge.
+
+    Returns:
+      FlowResult with the same capacity K.
+    """
+    img_prev = img_prev.astype(jnp.float32)
+    img_next = img_next.astype(jnp.float32)
+    prev_pyr = build_pyramid(img_prev, levels)
+    next_pyr = build_pyramid(img_next, levels)
+
+    new_xy, eig, resid = _lk_forward(prev_pyr, next_pyr, xy, patch, iters)
+
+    h, w = img_next.shape
+    ok = (
+        valid
+        & (eig > min_eig)
+        & (resid < max_residual)
+        & (new_xy[:, 0] >= border)
+        & (new_xy[:, 0] <= w - 1 - border)
+        & (new_xy[:, 1] >= border)
+        & (new_xy[:, 1] <= h - 1 - border)
+        & jnp.isfinite(new_xy).all(axis=-1)
+    )
+    if fb_check:
+        back_xy, _, _ = _lk_forward(next_pyr, prev_pyr, new_xy, patch, iters)
+        ok = ok & (jnp.linalg.norm(back_xy - xy, axis=-1) < fb_tol)
+
+    new_xy = jnp.where(ok[:, None], new_xy, xy)
+    return FlowResult(xy=new_xy, tracked=ok, residual=resid)

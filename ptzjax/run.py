@@ -34,6 +34,12 @@ def _parse() -> argparse.Namespace:
     p.add_argument("--config", type=str, default=None, help="SLAMConfig JSON")
     p.add_argument("--out", type=str, required=True, help="output directory")
     p.add_argument("--ba", action="store_true", help="final bundle adjustment")
+    p.add_argument(
+        "--klt", action="store_true",
+        help="image modes: carry keypoints between frames with pyramidal LK "
+             "optical flow (detect only to refill) instead of re-detecting "
+             "every frame — the reference's optical_flow_matching mode",
+    )
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--width", type=int, default=1280)
@@ -91,38 +97,53 @@ def main() -> None:
         gt = seq.cameras
         intr = Intrinsics.create(float(seq.intr.cx), float(seq.intr.cy))
     elif args.synthetic_images:
-        from ptzjax.frontend import extract_features
+        from ptzjax.frontend import extract_features, track_features
 
         intr = Intrinsics.create(args.width / 2.0, args.height / 2.0)
         pano = synth.make_panorama(seed=args.seed)
         gt = synth.make_trajectory(args.frames, seed=args.seed)
         use_pallas = jax.default_backend() == "tpu"
         feats = []
+        prev_img = None
         for c in gt:
-            img = synth.render_image(pano, c, intr, args.width, args.height)
-            feats.append(
-                extract_features(jnp.asarray(img), cfg, use_pallas=use_pallas)
+            img = jnp.asarray(
+                synth.render_image(pano, c, intr, args.width, args.height)
             )
+            if args.klt and prev_img is not None:
+                xy, desc, valid, _ = track_features(
+                    prev_img, img, feats[-1][0], feats[-1][2], cfg,
+                    use_pallas=use_pallas,
+                )
+                feats.append((xy, desc, valid))
+            else:
+                feats.append(extract_features(img, cfg, use_pallas=use_pallas))
+            prev_img = img
     else:
         if not args.annotation or not args.images:
             raise SystemExit("dataset mode needs --annotation and --images")
-        from ptzjax.frontend import extract_features
+        from ptzjax.frontend import extract_features, track_features
 
         seqm = iolib.SequenceManager(args.annotation, args.images)
         intr = seqm.ann.intr
         gt = seqm.ann.cameras[: args.frames]
         use_pallas = jax.default_backend() == "tpu"
         feats = []
+        prev_img = None
         for k in range(min(args.frames, seqm.length)):
-            img = seqm.get_image(k)
+            img = jnp.asarray(seqm.get_image(k))
             mask = seqm.get_mask(k, img.shape[0], img.shape[1])
-            feats.append(
-                extract_features(
-                    jnp.asarray(img), cfg,
-                    mask=None if mask is None else jnp.asarray(mask),
-                    use_pallas=use_pallas,
+            mask = None if mask is None else jnp.asarray(mask)
+            if args.klt and prev_img is not None:
+                xy, desc, valid, _ = track_features(
+                    prev_img, img, feats[-1][0], feats[-1][2], cfg,
+                    mask=mask, use_pallas=use_pallas,
                 )
-            )
+                feats.append((xy, desc, valid))
+            else:
+                feats.append(
+                    extract_features(img, cfg, mask=mask, use_pallas=use_pallas)
+                )
+            prev_img = img
 
     # --- run ------------------------------------------------------------------
     slam = PTZSlam(cfg, intr)

@@ -72,6 +72,72 @@ class TestVisionGeometryConsistency:
         assert (err < 3.0).mean() > 0.9
 
 
+class TestKLTFrontend:
+    def test_track_features_persistence_and_refill(self):
+        """The KLT table must carry points across frames (flow, not
+        re-detection), refill freed slots, and keep positions geometrically
+        consistent with the GT cameras."""
+        from ptzjax.frontend import track_features
+        from ptzjax.geometry import back_project_pixels
+
+        # pan_amp scaled so per-frame motion is ~14 px (broadcast-like);
+        # the default 6-frame render would compress the whole trajectory
+        # period into ~10 frames -> 86 px/frame, beyond any KLT's basin
+        imgs, cams, intr = _render(6, pan_amp=0.02, f_amp=8.0, seed=4)
+        cfg = _cfg()
+        xy, desc, valid = extract_features(jnp.asarray(imgs[0]), cfg, use_pallas=False)
+        prev_xy = np.asarray(xy)
+        for k in range(1, 6):
+            xy, desc, valid, tracked = track_features(
+                jnp.asarray(imgs[k - 1]), jnp.asarray(imgs[k]),
+                xy, valid, cfg, use_pallas=False,
+            )
+            tr = np.asarray(tracked)
+            va = np.asarray(valid)
+            assert tr.sum() >= 40, f"frame {k}: only {tr.sum()} tracked"
+            assert va.sum() >= tr.sum()
+            # tracked rows obey GT geometry
+            rays = back_project_pixels(jnp.asarray(cams[k - 1]),
+                                       jnp.asarray(prev_xy), intr)
+            pred = np.asarray(project_rays(jnp.asarray(cams[k]), rays, intr))
+            err = np.linalg.norm(np.asarray(xy) - pred, axis=-1)[tr]
+            assert np.median(err) < 0.3, f"frame {k}: median {np.median(err)}"
+            prev_xy = np.asarray(xy)
+
+    def test_slam_on_klt_frontend(self):
+        """Full loop: LK-tracked tables drive the SLAM segment as well as
+        per-frame re-detection does."""
+        from ptzjax.frontend import track_features
+
+        frames = 30
+        imgs, cams, intr = _render(frames, seed=2)
+        cfg = _cfg()
+        slam = PTZSlam(cfg, intr)
+
+        xy, desc, valid = extract_features(jnp.asarray(imgs[0]), cfg, use_pallas=False)
+        state = slam.init(xy, desc, valid, cams[0])
+        seq = []
+        for k in range(1, frames):
+            xy, desc, valid, _ = track_features(
+                jnp.asarray(imgs[k - 1]), jnp.asarray(imgs[k]),
+                xy, valid, cfg, use_pallas=False,
+            )
+            seq.append((xy, desc, valid))
+        state, infos = slam.run_segment(
+            state,
+            jnp.stack([s[0] for s in seq]),
+            jnp.stack([s[1] for s in seq]),
+            jnp.stack([s[2] for s in seq]),
+        )
+        pose = np.asarray(infos.pose)
+        lost = np.asarray(infos.lost)
+        assert not lost.any(), f"lost at frames {np.nonzero(lost)[0]}"
+        pan_err = np.abs(pose[:, 0] - cams[1:, 0])
+        assert pan_err.mean() < 2.5e-3, pan_err.mean()
+        f_err = np.abs(pose[:, 2] - cams[1:, 2])
+        assert f_err.mean() < 25.0, f_err.mean()
+
+
 class TestFromPixelsSLAM:
     def test_tracks_rendered_sequence(self):
         frames = 40

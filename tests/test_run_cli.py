@@ -27,3 +27,22 @@ def test_cli_synthetic_run(tmp_path):
     # jsonl has one record per processed frame
     lines = open(os.path.join(out, "frames.jsonl")).read().strip().splitlines()
     assert len(lines) == 29
+
+
+def test_cli_klt_images_run(tmp_path):
+    """--synthetic-images --klt: the optical-flow frontend drives the full
+    loop end-to-end from rendered pixels."""
+    out = str(tmp_path / "klt")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "ptzjax.run", "--synthetic-images", "--klt",
+            "--frames", "12", "--out", out, "--platform", "cpu",
+            "--width", "480", "--height", "270",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["frames_lost"] == 0
+    assert summary["pan_mae_deg"] < 0.2
