@@ -80,21 +80,20 @@ def build_pyramid(img: jax.Array, levels: int) -> list[jax.Array]:
 
 
 def _sample_patches(img: jax.Array, xy: jax.Array, patch: int) -> jax.Array:
-    """(K, patch, patch) bilinear patches centered on subpixel ``xy``.
-
-    Centers follow the descriptor-kernel convention: sample p of a patch
-    sits at xy + (p - (patch-1)/2).
-    """
+    """(K, patch, patch) bilinear patches centered on subpixel ``xy``:
+    sample p of a patch sits exactly at xy + (p - (patch-1)/2) (odd patch
+    sizes — the windowed einsum sampler in ``_lk_level`` uses the same
+    convention, and the two MUST agree or LK converges half a pixel off)."""
     h, w = img.shape
     c = patch // 2
     win = patch + 1
     pad = c + 1
     pimg = jnp.pad(img, pad, mode="edge")
 
-    y0 = jnp.floor(xy[:, 1] + 0.5).astype(jnp.int32)
-    x0 = jnp.floor(xy[:, 0] + 0.5).astype(jnp.int32)
-    fy = jnp.clip(xy[:, 1] + 0.5 - y0, 0.0, 1.0)[:, None, None]
-    fx = jnp.clip(xy[:, 0] + 0.5 - x0, 0.0, 1.0)[:, None, None]
+    y0 = jnp.floor(xy[:, 1]).astype(jnp.int32)
+    x0 = jnp.floor(xy[:, 0]).astype(jnp.int32)
+    fy = jnp.clip(xy[:, 1] - y0, 0.0, 1.0)[:, None, None]
+    fx = jnp.clip(xy[:, 0] - x0, 0.0, 1.0)[:, None, None]
     ys = jnp.clip(y0 - c + pad, 0, h + 2 * pad - win)
     xs = jnp.clip(x0 - c + pad, 0, w + 2 * pad - win)
     windows = jax.vmap(
@@ -108,8 +107,49 @@ def _sample_patches(img: jax.Array, xy: jax.Array, patch: int) -> jax.Array:
     )                                                    # (K, patch, patch)
 
 
+# in-level displacement budget (px) the per-keypoint window covers; LK's
+# own convergence basin is ~patch/2, so this is not the limiting factor
+_DISP = 8
+
+
+def _extract_windows(img: jax.Array, xy: jax.Array, win: int, anchor_off: int):
+    """(K, win, win) integer-aligned windows whose (anchor_off, anchor_off)
+    pixel sits at round(xy). Returns (windows, anchor) with anchor the
+    integer position of window pixel (0, 0) in image coordinates."""
+    h, w = img.shape
+    pad = win
+    pimg = jnp.pad(img, pad, mode="edge")
+    y0 = jnp.round(xy[:, 1]).astype(jnp.int32) - anchor_off
+    x0 = jnp.round(xy[:, 0]).astype(jnp.int32) - anchor_off
+    ys = jnp.clip(y0 + pad, 0, h + 2 * pad - win)
+    xs = jnp.clip(x0 + pad, 0, w + 2 * pad - win)
+    windows = jax.vmap(
+        lambda yy, xx: jax.lax.dynamic_slice(pimg, (yy, xx), (win, win))
+    )(ys, xs)
+    anchor = jnp.stack([xs - pad, ys - pad], -1).astype(jnp.float32)  # (K, 2)
+    return windows, anchor
+
+
+def _sel_weights(pos: jax.Array, patch: int, win: int) -> jax.Array:
+    """(K, patch, win) bilinear row/col selection matrices: row p of the
+    output samples window coordinate pos + p. Positions are clamped to the
+    window (edge behavior), matching edge-padded direct sampling."""
+    p = jnp.arange(patch, dtype=jnp.float32)[None, :, None]   # (1, P, 1)
+    wco = jnp.arange(win, dtype=jnp.float32)[None, None, :]   # (1, 1, W)
+    t = jnp.clip(pos[:, None, None] + p, 0.0, win - 1.0)
+    return jnp.clip(1.0 - jnp.abs(t - wco), 0.0, 1.0)         # (K, P, W)
+
+
 def _lk_level(prev, nxt, xy_prev, guess, patch: int, iters: int):
     """One pyramid level of iterative LK for all keypoints.
+
+    TPU realization: per-keypoint windows of the next frame are gathered
+    ONCE (one batched dynamic_slice), and every Newton iteration samples
+    inside them with bilinear selection-matrix einsums — batched (P, W) x
+    (W, W) x (W, P) matmuls on the MXU, zero gathers in the loop. The
+    naive resample-at-guess formulation issued K dynamic-slices per
+    iteration per level per direction (~10k serialized gathers per call)
+    and was ~10x slower end-to-end.
 
     Returns (refined guess (K, 2), min_eig (K,), residual (K,)).
     """
@@ -127,9 +167,23 @@ def _lk_level(prev, nxt, xy_prev, guess, patch: int, iters: int):
     min_eig = min_eig / (patch * patch)  # per-pixel, like cv2's minEigThreshold
     inv_det = jnp.where(det > 1e-12, 1.0 / jnp.maximum(det, 1e-12), 0.0)
 
+    # next-frame windows around the initial guess, wide enough for the
+    # whole in-level search (_DISP px each way)
+    win = patch + 2 * _DISP + 1
+    windows, anchor = _extract_windows(nxt, guess, win, _DISP + patch // 2)
+    hi = jax.lax.Precision.HIGHEST
+
+    def sample(g):
+        # corner of the patch in window coordinates (fractional)
+        corner = g - anchor - (patch - 1) / 2.0           # (K, 2) x, y
+        sy = _sel_weights(corner[:, 1], patch, win)       # (K, P, W)
+        sx = _sel_weights(corner[:, 0], patch, win)
+        return jnp.einsum(
+            "kpw,kwv,kqv->kpq", sy, windows, sx, precision=hi
+        )                                                 # (K, P, P)
+
     def body(_, g):
-        cur = _sample_patches(nxt, g, patch)
-        di = tmpl - cur                                   # (K, P, P)
+        di = tmpl - sample(g)                             # (K, P, P)
         bx = (di * gx).sum(axis=(1, 2))
         by = (di * gy).sum(axis=(1, 2))
         dx = inv_det * (gyy * bx - gxy * by)
@@ -142,7 +196,7 @@ def _lk_level(prev, nxt, xy_prev, guess, patch: int, iters: int):
     # failure forward-backward can't — symmetric non-convergence (LK leaves
     # the point in place in both directions, round-trip error ~0).
     tstd = tmpl.std(axis=(1, 2))
-    resid = jnp.abs(tmpl - _sample_patches(nxt, guess, patch)).mean(axis=(1, 2))
+    resid = jnp.abs(tmpl - sample(guess)).mean(axis=(1, 2))
     resid = resid / jnp.maximum(tstd, 1e-6)
     return guess, min_eig, resid
 
