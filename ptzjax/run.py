@@ -8,6 +8,9 @@ and a final trajectory .npz.
 
 Modes:
   --synthetic          keypoint-oracle sequence (no images; EKF/map/BA path)
+  --synthetic-court    court-model oracle: landmarks from 3D basketball-court
+                       geometry via the base-rotation camera (the reference's
+                       synthesized/ experiments)
   --synthetic-images   panorama-rendered video through the vision kernels
   --annotation/--images  dataset mode (.mat/.npz annotations + frames)
 
@@ -27,6 +30,7 @@ import time
 def _parse() -> argparse.Namespace:
     p = argparse.ArgumentParser(description="ptzjax SLAM experiment runner")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-court", action="store_true")
     p.add_argument("--synthetic-images", action="store_true")
     p.add_argument("--annotation", type=str, default=None)
     p.add_argument("--images", type=str, default=None)
@@ -78,7 +82,21 @@ def main() -> None:
 
     # --- assemble (features, gt, intr) per mode -----------------------------
     gt = None
-    if args.synthetic:
+    if args.synthetic_court:
+        from ptzjax.features import synth_features
+
+        seq, _points = synth.make_court_sequence(
+            num_frames=args.frames, width=args.width, height=args.height,
+            f0=1800.0, f_amp=150.0, period=args.frames * 1.5, seed=args.seed,
+        )
+        feats = [
+            synth_features(seq, k, cfg.max_keypoints, seed=args.seed)[0]
+            for k in range(args.frames)
+        ]
+        feats = [(f.xy, f.desc, f.valid) for f in feats]
+        gt = seq.cameras
+        intr = seq.intr
+    elif args.synthetic:
         seq = synth.make_sequence(
             num_frames=args.frames, num_rays=2500,
             width=args.width, height=args.height, seed=args.seed,

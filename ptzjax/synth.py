@@ -100,6 +100,111 @@ def make_sequence(
     return SyntheticSequence(cameras, rays, desc, intr, width, height)
 
 
+# --- court-model synthesis (reference `synthesized/` experiments) ------------
+
+
+def look_at_base_rotation(center, target, up=(0.0, 0.0, 1.0)) -> np.ndarray:
+    """World -> camera-base rotation Rb for a camera at ``center`` whose base
+    (pan=0, tilt=0) optical axis points at ``target``.
+
+    Camera-base convention (matches geometry.rays_from_points): x right,
+    y down, z forward — so theta = atan2(dx, dz) is pan-like and
+    phi = atan2(-dy, hypot(dx, dz)) is tilt-like (positive = up).
+    """
+    fwd = np.asarray(target, np.float64) - np.asarray(center, np.float64)
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(up, np.float64))
+    right = right / np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    return np.stack([right, down, fwd], axis=0).astype(np.float32)
+
+
+def make_court_points(
+    length: float = 28.65,
+    width: float = 15.24,
+    court_step: float = 1.6,
+    stand_rows: int = 8,
+    stand_cols: int = 36,
+    seed: int = 0,
+) -> np.ndarray:
+    """3D world points of a basketball-court scene (court-marking grid on
+    the floor plane + a rising bank of stands behind the far sideline).
+
+    World frame: x along the court length, y across it, z up; the court
+    floor is z = 0 with corners (0, 0) and (length, width). The analogue of
+    the reference's synthesized court model — feature positions are tied to
+    real 3D geometry instead of a free ray field, so this exercises the
+    rays_from_points path (SURVEY.md §8.1 court projection).
+    """
+    rng = np.random.default_rng(seed + 17)
+    xs = np.arange(0.0, length + 1e-6, court_step)
+    ys = np.arange(0.0, width + 1e-6, court_step)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    court = np.stack([gx, gy, np.zeros_like(gx)], -1).reshape(-1, 3)
+    # jitter breaks the perfect grid (a real detector never sees one)
+    court[:, :2] += rng.uniform(-0.2, 0.2, (len(court), 2))
+
+    sx = np.linspace(-2.0, length + 2.0, stand_cols)
+    rows = np.arange(stand_rows)
+    sgx, sgr = np.meshgrid(sx, rows, indexing="ij")
+    stands = np.stack(
+        [
+            sgx,
+            width + 2.0 + 0.9 * sgr,      # receding behind the far sideline
+            1.0 + 0.8 * sgr,              # rising tiers
+        ],
+        -1,
+    ).reshape(-1, 3)
+    stands += rng.uniform(-0.25, 0.25, stands.shape)
+    return np.concatenate([court, stands], 0).astype(np.float32)
+
+
+def make_court_sequence(
+    num_frames: int = 300,
+    width: float = 1280.0,
+    height: float = 720.0,
+    camera_center=(14.3, -18.0, 7.0),
+    look_target=(14.3, 9.0, 0.0),
+    descriptor_dim: int = 128,
+    seed: int = 0,
+    **traj_kw,
+) -> tuple[SyntheticSequence, np.ndarray]:
+    """Court-model synthetic sequence: landmarks are 3D court/stand points
+    converted to rays through the real base-rotation camera model.
+
+    Returns (sequence, points) — ``sequence`` plugs into every existing
+    harness (features.synth_features, PTZSlam, BA); ``points`` are the
+    (M, 3) world points for reprojection-against-model evaluation.
+    """
+    rng = np.random.default_rng(seed)
+    center = np.asarray(camera_center, np.float64)
+    rb = look_at_base_rotation(center, look_target).astype(np.float64)
+    points = make_court_points(seed=seed)
+
+    d = (points.astype(np.float64) - center) @ rb.T
+    theta = np.arctan2(d[:, 0], d[:, 2])
+    phi = np.arctan2(-d[:, 1], np.hypot(d[:, 0], d[:, 2]))
+    rays = np.stack([theta, phi], -1).astype(np.float32)
+
+    desc = rng.normal(size=(len(rays), descriptor_dim)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+
+    # trajectory centered on the scene's ray spread
+    traj_kw.setdefault("pan0", float(np.median(theta)))
+    traj_kw.setdefault("tilt0", float(np.median(phi)))
+    traj_kw.setdefault("pan_amp", float(0.45 * (theta.max() - theta.min()) / 2))
+    traj_kw.setdefault("tilt_amp", 0.02)
+    cameras = make_trajectory(num_frames, seed=seed, **traj_kw)
+
+    intr = Intrinsics.create(
+        width / 2.0, height / 2.0,
+        center=center.astype(np.float32),
+        base_rotation=rb.astype(np.float32),
+    )
+    seq = SyntheticSequence(cameras, rays, desc, intr, width, height)
+    return seq, points
+
+
 def _project_np(camera, rays, cx, cy):
     u = rays[:, 0] - camera[0]
     v = rays[:, 1] - camera[1]
