@@ -70,6 +70,9 @@ class SLAMConfig:
     ba_tol: float = 1e-8
 
     # --- relocalization ---
+    reloc_mode: str = "map"           # "map": match the global ray store;
+                                      # "keyframe": nearest-keyframe lookup
+                                      # (reference path A / BASELINE config 2)
     reloc_min_matches: int = 10
     reloc_iters: int = 20
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ptzjax import match as matchlib
 from ptzjax.config import SLAMConfig
 from ptzjax.geometry import Intrinsics, project_jacobians
-from ptzjax.mapstore import RayStore
+from ptzjax.mapstore import KeyframeStore, RayStore
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -160,5 +160,71 @@ def relocalize(
         inliers=n2,
         success=success,
         matched_ray_ids=jnp.where(inl2, m.idx, -1),
+        matched_ok=inl2,
+    )
+
+
+def relocalize_keyframes(
+    desc: jax.Array,
+    xy: jax.Array,
+    valid: jax.Array,
+    kf: KeyframeStore,
+    ray_store: RayStore,
+    intr: Intrinsics,
+    cfg: SLAMConfig,
+    f_range: tuple[float, float] = (800.0, 6000.0),
+    num_f: int = 32,
+    tol_px: float = 8.0,
+) -> RelocResult:
+    """Nearest-keyframe relocalization (the reference's path A, SURVEY.md
+    §4.4; BASELINE.md config 2 "nearest-keyframe lookup + pose re-init").
+
+    The reference loops keyframes and BF-matches sequentially; here the lost
+    frame's descriptors are matched against ALL keyframe feature tables in
+    one MXU matmul (Q x K*F scores). A per-keyframe match-count vote picks
+    the nearest keyframe, the winner's 2D<->ray correspondences drive the
+    same vote+refine pose solve, and the pose is seeded from the winning
+    keyframe's stored pose (skipping the blind focal-grid sweep).
+    """
+    k, f, d = kf.desc.shape
+    flat_desc = kf.desc.reshape(k * f, d)
+    flat_ok = (kf.feat_valid & kf.valid[:, None] & (kf.ray_ids >= 0)).reshape(-1)
+    m = matchlib.match_descriptors(
+        desc, flat_desc, valid, flat_ok, ratio=cfg.ratio_test, mutual=False
+    )
+    kf_of = m.idx // f
+    votes = jnp.zeros((k,), jnp.int32).at[jnp.where(m.ok, kf_of, k)].add(
+        1, mode="drop"
+    )
+    kbest = jnp.argmax(votes)
+
+    ray_ids = kf.ray_ids.reshape(-1)[m.idx]
+    ok = m.ok & (kf_of == kbest) & (ray_ids >= 0)
+    mrays = ray_store.rays[jnp.clip(ray_ids, 0, None)]
+
+    # pose init: the nearest keyframe's stored pose (refine handles the rest)
+    init = kf.poses[kbest]
+    inl0, _ = _count_inliers(init, mrays, xy, ok, intr, 4 * tol_px)
+    pose1 = solve_pose(mrays, xy, inl0, intr, init, iters=cfg.reloc_iters)
+    inl1, n1 = _count_inliers(pose1, mrays, xy, ok, intr, tol_px)
+    pose2 = solve_pose(mrays, xy, inl1, intr, pose1, iters=cfg.reloc_iters)
+    inl2, n2 = _count_inliers(pose2, mrays, xy, ok, intr, tol_px)
+
+    # fall back to the focal-grid vote when the keyframe seed fails (e.g. the
+    # camera zoomed far between losing and recovering)
+    pose_v, inl_v, n_v, _ = solve_from_correspondences(
+        mrays, xy, ok, intr, cfg, f_range=f_range, num_f=num_f, tol_px=tol_px
+    )
+    use_vote = n_v > n2
+    pose2 = jnp.where(use_vote, pose_v, pose2)
+    inl2 = jnp.where(use_vote, inl_v, inl2)
+    n2 = jnp.where(use_vote, n_v, n2)
+
+    success = n2 >= cfg.reloc_min_matches
+    return RelocResult(
+        pose=pose2,
+        inliers=n2,
+        success=success,
+        matched_ray_ids=jnp.where(inl2, ray_ids, -1),
         matched_ok=inl2,
     )

@@ -44,6 +44,14 @@ def _parse() -> argparse.Namespace:
              "optical flow (detect only to refill) instead of re-detecting "
              "every frame — the reference's optical_flow_matching mode",
     )
+    p.add_argument(
+        "--reloc", type=str, default="map",
+        choices=["map", "keyframe", "forest"],
+        help="relocalization backend: 'map' matches the global ray store, "
+             "'keyframe' does the reference's nearest-keyframe lookup, "
+             "'forest' uses the native C++ BTDTR regressor trained online "
+             "from keyframes (the reference's rf_map variant)",
+    )
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--width", type=int, default=1280)
@@ -78,7 +86,9 @@ def main() -> None:
     cfg = SLAMConfig()
     if args.config:
         cfg = SLAMConfig.from_json(open(args.config).read())
-    cfg = cfg.replace(image_width=args.width, image_height=args.height)
+    cfg = cfg.replace(
+        image_width=args.width, image_height=args.height, reloc_mode=args.reloc
+    )
 
     # --- assemble (features, gt, intr) per mode -----------------------------
     gt = None
@@ -166,11 +176,59 @@ def main() -> None:
     # --- run ------------------------------------------------------------------
     slam = PTZSlam(cfg, intr)
     state = slam.init(*feats[0], gt[0])
+
+    forest = None
+    trained_kf = 0
+
+    def _train_forest_on_new_keyframes(state):
+        """Feed keyframes inserted since the last call to the native forest
+        (SURVEY.md §4.1/§4.2 'rf_map.add_keyframe': online training)."""
+        nonlocal trained_kf
+        n_kf = int(state.kf.count)
+        if n_kf <= trained_kf:
+            return
+        kf = jax.device_get(state.kf)
+        rays = jax.device_get(state.rays.rays)
+        for i in range(trained_kf, n_kf):
+            keep = kf.feat_valid[i] & (kf.ray_ids[i] >= 0)
+            ids = np.clip(kf.ray_ids[i], 0, None)
+            forest.add_keyframe(kf.desc[i], rays[ids], valid=keep)
+        trained_kf = n_kf
+
+    if args.reloc == "forest":
+        from ptzjax.reloc_forest import RelocForest, relocalize_rf
+
+        forest = RelocForest()
+        _train_forest_on_new_keyframes(state)
+
     records = []
+    lost_host = False
     t0 = time.perf_counter()
     for k in range(1, len(feats)):
-        state, finfo = slam.step(state, *feats[k])
-        rec = info_to_dict(finfo)
+        if forest is not None and lost_host:
+            # forest path: the host resolves lost frames through the native
+            # regressor instead of the in-graph reloc branch (SURVEY.md §4.4
+            # path B)
+            xy, desc, valid = feats[k]
+            res = relocalize_rf(forest, desc, xy, valid, intr, cfg)
+            state = slam.apply_reloc_result(state, xy, desc, valid, res)
+            lost_host = not bool(res.success)
+            rec = {
+                "event": "reloc", "lost": lost_host,
+                "reloc_success": bool(res.success),
+                "reloc_inliers": int(res.inliers),
+                "pose": np.asarray(jax.device_get(state.ekf.pose)),
+                "num_matches": int(res.inliers), "num_used": int(res.inliers),
+                "innovation_rms": 0.0, "keyframe": False,
+                "active_slots": int(jax.device_get(state.ekf.active.sum())),
+                "max_kf_overlap": 1.0,
+            }
+        else:
+            state, finfo = slam.step(state, *feats[k])
+            rec = info_to_dict(finfo)
+            lost_host = rec["lost"]
+            if forest is not None and rec["keyframe"]:
+                _train_forest_on_new_keyframes(state)
         rec["frame"] = k
         records.append(rec)
         if args.checkpoint_every and k % args.checkpoint_every == 0:

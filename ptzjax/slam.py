@@ -130,6 +130,24 @@ class PTZSlam:
         state, cost0, cost1 = self._ba(state)
         return state, {"ba_cost_before": float(cost0), "ba_cost_after": float(cost1)}
 
+    def apply_reloc_result(
+        self, state: SlamState, xy, desc, valid, res
+    ) -> SlamState:
+        """Apply an externally-computed relocalization (e.g. the native
+        forest path, ``ptzjax.reloc_forest.relocalize_rf`` — SURVEY.md §4.4
+        path B): on success, re-init the EKF around the recovered pose and
+        re-seed slots by back-projecting the inlier keypoints; on failure,
+        stay lost. The host decides WHEN to call this; the apply is jitted."""
+        if not hasattr(self, "_apply_reloc"):
+            self._apply_reloc = jax.jit(
+                partial(_apply_external_reloc, cfg=self.cfg, intr=self.intr)
+            )
+        return self._apply_reloc(
+            state, jnp.asarray(xy), jnp.asarray(desc), jnp.asarray(valid),
+            jnp.asarray(res.pose), jnp.asarray(res.matched_ok),
+            jnp.asarray(res.success),
+        )
+
 
 # --- jitted stages -----------------------------------------------------------
 
@@ -255,9 +273,16 @@ def _insert_keyframe(state: SlamState, xy, desc, valid, *, cfg, intr) -> SlamSta
 
 
 def _relocalize(state: SlamState, xy, desc, valid, *, cfg, intr):
-    """Recover from lost tracking via the global ray store (SURVEY.md §4.4),
-    then rebuild the EKF around the recovered pose with the inlier rays."""
-    res = reloclib.relocalize(desc, xy, valid, state.rays, intr, cfg)
+    """Recover from lost tracking (SURVEY.md §4.4), then rebuild the EKF
+    around the recovered pose with the inlier rays. cfg.reloc_mode selects
+    the backend statically at trace time: "map" matches the global ray
+    store; "keyframe" does the reference's nearest-keyframe lookup."""
+    if cfg.reloc_mode == "keyframe":
+        res = reloclib.relocalize_keyframes(
+            desc, xy, valid, state.kf, state.rays, intr, cfg
+        )
+    else:
+        res = reloclib.relocalize(desc, xy, valid, state.rays, intr, cfg)
 
     def recover(_):
         ekf_state = ekflib.init_state(res.pose, cfg)
@@ -301,6 +326,29 @@ def _relocalize(state: SlamState, xy, desc, valid, *, cfg, intr):
         reloc_success=res.success,
     )
     return new_state, info
+
+
+def _apply_external_reloc(
+    state: SlamState, xy, desc, valid, pose, inlier_mask, success, *, cfg, intr
+):
+    """Re-init around an externally recovered pose (forest path): fresh EKF
+    at ``pose``, inlier keypoints back-projected into new slots + map rays.
+    The map/keyframe stores survive (they are the long-term memory)."""
+
+    def recover(_):
+        st = state._replace(
+            ekf=ekflib.init_state(pose, cfg),
+            slot_desc=jnp.zeros_like(state.slot_desc),
+            lost=jnp.asarray(False),
+            frame_idx=state.frame_idx + 1,
+        )
+        st, _ = _grow_map(st, xy, desc, valid & inlier_mask, cfg=cfg, intr=intr)
+        return st
+
+    def stay_lost(_):
+        return state._replace(frame_idx=state.frame_idx + 1)
+
+    return jax.lax.cond(success, recover, stay_lost, None)
 
 
 def _frame_step(state: SlamState, xy, desc, valid, *, cfg, intr):

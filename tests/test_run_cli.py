@@ -46,3 +46,23 @@ def test_cli_klt_images_run(tmp_path):
     summary = json.load(open(os.path.join(out, "summary.json")))
     assert summary["frames_lost"] == 0
     assert summary["pan_mae_deg"] < 0.2
+
+
+def test_cli_reloc_backends(tmp_path):
+    """--reloc keyframe / forest: both alternative relocalization backends
+    drive the CLI loop (forest also trains online from keyframes)."""
+    for mode in ("keyframe", "forest"):
+        out = str(tmp_path / mode)
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "ptzjax.run", "--synthetic",
+                "--frames", "20", "--out", out, "--platform", "cpu",
+                "--reloc", mode,
+            ],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        summary = json.load(open(os.path.join(out, "summary.json")))
+        assert summary["frames_lost"] == 0
+        assert summary["pan_mae_deg"] < 0.1

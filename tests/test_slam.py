@@ -133,3 +133,53 @@ def test_reloc_reports_failure_on_garbage():
     # random descriptors may accidentally relocalize only with tiny inliers;
     # success with garbage must not be claimed
     assert not info["reloc_success"] or info["reloc_inliers"] < 2 * CFG.reloc_min_matches
+
+
+def test_keyframe_reloc_mode_recovers():
+    """BASELINE.md config 2: nearest-keyframe lookup + pose re-init."""
+    seq = make_seq(T=80)
+    cfg = CFG.replace(reloc_mode="keyframe")
+    drop = set(range(40, 47))
+    slam, state, infos = run_slam(seq, cfg=cfg, drop_frames=drop)
+    by_frame = {i["frame"]: i for i in infos}
+    assert any(
+        by_frame[k].get("lost") or by_frame[k]["event"] == "reloc"
+        for k in range(40, 47)
+    )
+    tail = [i for i in infos if i["frame"] >= 60]
+    assert tail and all(i["event"] == "track" for i in tail)
+    err, idx = pose_errors(seq, infos)
+    late = err[idx >= 60]
+    assert late[:, 0].mean() < 2e-3
+    assert late[:, 2].mean() < 30.0
+
+
+def test_apply_external_reloc_reinits():
+    """Host-side reloc application (the native-forest integration path):
+    a lost state + an external RelocResult must re-init and resume."""
+    import jax.numpy as jnp
+
+    from ptzjax.reloc import RelocResult
+
+    # T=80 keeps the per-frame pan rate within the innovation gate after a
+    # zero-velocity re-init (same regime as the in-graph reloc tests)
+    seq = make_seq(T=80)
+    slam, state, infos = run_slam(seq)
+    state = state._replace(lost=jnp.asarray(True))
+    k = 65
+    f, _ = synth_features(seq, k, CFG.max_keypoints, noise_px=0.5, desc_noise=0.05)
+    res = RelocResult(
+        pose=jnp.asarray(seq.cameras[k]),
+        inliers=jnp.asarray(int(f.valid.sum()), jnp.int32),
+        success=jnp.asarray(True),
+        matched_ray_ids=jnp.full((CFG.max_keypoints,), -1, jnp.int32),
+        matched_ok=jnp.asarray(f.valid),
+    )
+    state2 = slam.apply_reloc_result(state, f.xy, f.desc, f.valid, res)
+    assert not bool(state2.lost)
+    assert int(state2.ekf.active.sum()) > 10
+    # next frame must track
+    f2, _ = synth_features(seq, k + 1, CFG.max_keypoints, noise_px=0.5, desc_noise=0.05)
+    state3, info = slam.process(state2, f2.xy, f2.desc, f2.valid)
+    assert info["event"] == "track" and not info["lost"]
+    assert abs(info["pose"][0] - seq.cameras[k + 1][0]) < 2e-3
