@@ -52,6 +52,11 @@ def _parse() -> argparse.Namespace:
              "'forest' uses the native C++ BTDTR regressor trained online "
              "from keyframes (the reference's rf_map variant)",
     )
+    p.add_argument(
+        "--plot", action="store_true",
+        help="write trajectory/error curves (trajectory.png) — the "
+             "reference's matplotlib eval plots",
+    )
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--width", type=int, default=1280)
@@ -255,6 +260,13 @@ def main() -> None:
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    if args.plot:
+        from ptzjax.plots import plot_run
+
+        plot_run(
+            pose, gt[1 : len(pose) + 1], os.path.join(args.out, "trajectory.png"),
+            records=records, title=os.path.basename(args.out.rstrip("/")),
+        )
     print(json.dumps(summary, indent=2))
 
 

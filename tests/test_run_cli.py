@@ -66,3 +66,21 @@ def test_cli_reloc_backends(tmp_path):
         summary = json.load(open(os.path.join(out, "summary.json")))
         assert summary["frames_lost"] == 0
         assert summary["pan_mae_deg"] < 0.1
+
+
+def test_cli_plot_artifact(tmp_path):
+    """--plot writes the trajectory/error figure (reference eval plots)."""
+    pytest = __import__("pytest")
+    pytest.importorskip("matplotlib")
+    out = str(tmp_path / "plotted")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "ptzjax.run", "--synthetic",
+            "--frames", "20", "--out", out, "--platform", "cpu", "--plot",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    png = os.path.join(out, "trajectory.png")
+    assert os.path.exists(png) and os.path.getsize(png) > 10_000
