@@ -53,6 +53,12 @@ def _parse() -> argparse.Namespace:
              "from keyframes (the reference's rf_map variant)",
     )
     p.add_argument(
+        "--tracker", type=str, default="slam", choices=["slam", "homography"],
+        help="'slam' = the full keyframe+map system; 'homography' = the "
+             "frame-to-frame homography-EKF baseline (the reference's "
+             "deprecated/ tracker, the paper's drift comparison)",
+    )
+    p.add_argument(
         "--plot", action="store_true",
         help="write trajectory/error curves (trajectory.png) — the "
              "reference's matplotlib eval plots",
@@ -179,6 +185,10 @@ def main() -> None:
             prev_img = img
 
     # --- run ------------------------------------------------------------------
+    if args.tracker == "homography":
+        _run_homography_baseline(args, cfg, intr, feats, gt)
+        return
+
     slam = PTZSlam(cfg, intr)
     state = slam.init(*feats[0], gt[0])
 
@@ -266,6 +276,71 @@ def main() -> None:
         plot_run(
             pose, gt[1 : len(pose) + 1], os.path.join(args.out, "trajectory.png"),
             records=records, title=os.path.basename(args.out.rstrip("/")),
+        )
+    print(json.dumps(summary, indent=2))
+
+
+def _run_homography_baseline(args, cfg, intr, feats, gt) -> None:
+    """Baseline-tracker path of the CLI: one lax.scan over the sequence,
+    same artifacts as the SLAM path (summary.json, trajectory.npz, plot)."""
+    import json
+    import os
+    import time
+
+    import jax
+    import numpy as np
+
+    from ptzjax import eval as evallib
+    from ptzjax import io as iolib
+    from ptzjax.baselines import init_vo, track_homography_ekf
+
+    xy = np.stack([np.asarray(f[0]) for f in feats])
+    desc = np.stack([np.asarray(f[1]) for f in feats])
+    valid = np.stack([np.asarray(f[2]) for f in feats])
+    state = init_vo(gt[0], xy[0], desc[0], valid[0], cfg)
+    # warm-up (compile), then timed run
+    _, infos = track_homography_ekf(
+        state, xy[1:], desc[1:], valid[1:], intr=intr, cfg=cfg
+    )
+    jax.block_until_ready(infos)
+    t0 = time.perf_counter()
+    _, infos = track_homography_ekf(
+        state, xy[1:], desc[1:], valid[1:], intr=intr, cfg=cfg
+    )
+    jax.block_until_ready(infos)
+    wall = time.perf_counter() - t0
+
+    h = jax.device_get(infos)
+    pose = np.asarray(h.pose)
+    records = [
+        {
+            "frame": k + 1, "event": "track", "pose": pose[k],
+            "num_matches": int(h.num_inliers[k]),
+            "lost": not bool(h.updated[k]), "keyframe": False,
+        }
+        for k in range(len(pose))
+    ]
+    iolib.write_trajectory_jsonl(os.path.join(args.out, "frames.jsonl"), records)
+    np.savez(
+        os.path.join(args.out, "trajectory.npz"), pose=pose, gt=gt[1 : len(pose) + 1]
+    )
+    summary = {
+        **evallib.trajectory_errors(pose, gt[1 : len(pose) + 1]).as_dict(),
+        "reprojection_rmse_px": evallib.reprojection_rmse(
+            pose, gt[1 : len(pose) + 1], intr, args.width, args.height
+        ),
+        "fps": len(pose) / wall,
+        "frames_lost": sum(r["lost"] for r in records),
+        "tracker": "homography",
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    if args.plot:
+        from ptzjax.plots import plot_run
+
+        plot_run(
+            pose, gt[1 : len(pose) + 1], os.path.join(args.out, "trajectory.png"),
+            records=records, title=f"{os.path.basename(args.out.rstrip('/'))} (homography baseline)",
         )
     print(json.dumps(summary, indent=2))
 

@@ -84,3 +84,21 @@ def test_cli_plot_artifact(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     png = os.path.join(out, "trajectory.png")
     assert os.path.exists(png) and os.path.getsize(png) > 10_000
+
+
+def test_cli_homography_baseline(tmp_path):
+    """--tracker homography: the drift-comparison baseline runs end-to-end."""
+    out = str(tmp_path / "homog")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "ptzjax.run", "--synthetic",
+            "--frames", "30", "--out", out, "--platform", "cpu",
+            "--tracker", "homography",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["tracker"] == "homography"
+    assert summary["pan_mae_deg"] < 0.1
