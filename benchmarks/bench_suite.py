@@ -336,6 +336,26 @@ print(json.dumps(out))
     }
 
 
+def _run_group(group: str) -> list[dict]:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if group == "slam":
+        return [bench_online_slam()]
+    if group == "ba":
+        return bench_ba()
+    if group == "kernels":
+        return bench_kernels()
+    if group == "flow":
+        return [bench_flow()]
+    if group == "forest":
+        return [bench_reloc_forest()]
+    if group == "dist":
+        return [bench_dist()]
+    raise SystemExit(f"unknown group {group}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="benchmarks/RESULTS.md")
@@ -343,30 +363,47 @@ def main() -> None:
         "--only", default=None,
         help="comma list: slam,ba,kernels,flow,forest,dist",
     )
+    ap.add_argument(
+        "--raw", action="store_true",
+        help="(child mode) run groups in-process and print JSON lines only",
+    )
     args = ap.parse_args()
-
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     wanted = (args.only or "slam,ba,kernels,flow,forest,dist").split(",")
+
+    if args.raw:
+        results = []
+        for g in wanted:
+            results.extend(_run_group(g))
+        for r in results:
+            print(json.dumps(r))
+        return
+
+    # Parent: one SUBPROCESS per group. Isolation is load-bearing on this
+    # environment: the first device->host transfer of a process permanently
+    # degrades every later dispatch from ~0.1 ms to ~30 ms (PJRT tunnel), so
+    # an earlier bench's result readback would silently inflate every later
+    # bench's numbers by ~30 ms per dispatch.
+    import subprocess
+    import sys as _sys
+
     results = []
-    if "slam" in wanted:
-        results.append(bench_online_slam())
-    if "ba" in wanted:
-        results.extend(bench_ba())
-    if "kernels" in wanted:
-        results.extend(bench_kernels())
-    if "flow" in wanted:
-        results.append(bench_flow())
-    if "forest" in wanted:
-        results.append(bench_reloc_forest())
-    if "dist" in wanted:
-        results.append(bench_dist())
+    for g in wanted:
+        r = subprocess.run(
+            [_sys.executable, os.path.abspath(__file__), "--raw", "--only", g],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        if r.returncode != 0:
+            print(f"group {g} FAILED:\n{r.stderr[-2000:]}", file=sys.stderr)
+            continue
+        for line in r.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                results.append(json.loads(line))
 
     for r in results:
         print(json.dumps(r))
+
+    import jax
 
     backend = jax.default_backend()
     with open(args.out, "w") as f:

@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ptzjax.config import SLAMConfig
 from ptzjax.geometry import Intrinsics, project_jacobians
@@ -232,7 +233,9 @@ def lm_iteration(
     chol = jax.scipy.linalg.cho_factor(s, lower=True)
     dc = jax.scipy.linalg.cho_solve(chol, rhs)     # replicated on all shards
     dr = back_substitute(v, g_r, w_blk, prob.obs_cam, dc, lam)  # shard-local
-    dc_unscaled = dc.reshape(-1, 3) * jnp.array([1.0, 1.0, 1.0 / fs], cams.dtype)
+    # np (not jnp) constant: traced-in jnp constants become captured device
+    # buffers that stall every dispatch on this backend (kernels/flow.py)
+    dc_unscaled = dc.reshape(-1, 3) * np.array([1.0, 1.0, 1.0 / fs], np.float32)
     new_cams = cams + dc_unscaled * prob.cam_free[:, None]
     new_rays = rays + dr
     return new_cams, new_rays

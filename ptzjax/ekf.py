@@ -194,16 +194,22 @@ def update(
     innov = jnp.where(used[:, None], innov, 0.0)
 
     # Build H (2N, D): camera block + block-diagonal ray block, masked rows.
+    # The ray block is built densely (outer product against eye(N)) — an
+    # elementwise scatter of the (N,2,2) blocks is ~6x slower on TPU.
     j_cam = j_cam * used_f[..., None]
     j_ray = j_ray * used_f[..., None]
-    h = jnp.zeros((2 * n, d), jnp.float32)
-    h = h.at[:, 0:3].set(j_cam.reshape(2 * n, 3))
-    rows = jnp.arange(n)
-    r_idx = (2 * rows[:, None, None] + jnp.arange(2)[None, :, None])
-    c_idx = (6 + 2 * rows[:, None, None] + jnp.arange(2)[None, None, :])
-    r_idx = jnp.broadcast_to(r_idx, (n, 2, 2))
-    c_idx = jnp.broadcast_to(c_idx, (n, 2, 2))
-    h = h.at[r_idx, c_idx].set(j_ray)
+    eye_n = jnp.eye(n, dtype=jnp.float32)
+    ray_block = (
+        j_ray[:, :, None, :] * eye_n[:, None, :, None]
+    ).reshape(2 * n, 2 * n)                              # blockdiag(j_ray)
+    h = jnp.concatenate(
+        [
+            j_cam.reshape(2 * n, 3),
+            jnp.zeros((2 * n, 3), jnp.float32),
+            ray_block,
+        ],
+        axis=1,
+    )
 
     r_diag = jnp.full((2 * n,), cfg.sigma_obs**2, jnp.float32)
     ph_t = _mm(state.cov, h.T)                           # (D, 2N)
@@ -255,6 +261,47 @@ def _clear_slots(state: EKFState, drop: jax.Array) -> EKFState:
     return state._replace(active=active, ray_ids=ray_ids, cov=cov, missed=jnp.where(keep, state.missed, 0))
 
 
+class SlotClaim(NamedTuple):
+    """Bookkeeping of candidate -> free-slot assignment (deterministic:
+    the j-th accepted candidate claims the j-th free slot).
+
+    Attributes:
+      cand_ok: (K,) candidate accepted (masked in and a free slot exists).
+      target: (K,) int32 slot index per candidate (n where rejected).
+      newly: (N,) bool slot claimed in this call.
+      cand_of_slot: (N,) int32 claiming candidate per slot (k where none).
+    """
+
+    cand_ok: jax.Array
+    target: jax.Array
+    newly: jax.Array
+    cand_of_slot: jax.Array
+
+
+def claim_slots(active: jax.Array, cand_mask: jax.Array) -> SlotClaim:
+    """Assign accepted candidates to free slots. The only scatters here are
+    O(N)/O(K) int32 writes — callers should use ``cand_of_slot`` gathers +
+    masked selects for the heavy payloads instead of scattering them (a
+    large elementwise scatter is near-serial on TPU and dominated the whole
+    frame step before this refactor)."""
+    n = active.shape[0]
+    k = cand_mask.shape[0]
+    free = ~active
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    cand_rank = jnp.cumsum(cand_mask.astype(jnp.int32)) - 1
+    num_free = free.sum()
+    cand_ok = cand_mask & (cand_rank < num_free)
+    slot_of_rank = jnp.full((n,), n, jnp.int32).at[
+        jnp.where(free, free_rank, n)
+    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    target = jnp.where(cand_ok, slot_of_rank[jnp.clip(cand_rank, 0, n - 1)], n)
+    newly = jnp.zeros((n,), bool).at[target].set(True, mode="drop")
+    cand_of_slot = jnp.full((n,), k, jnp.int32).at[target].set(
+        jnp.arange(k, dtype=jnp.int32), mode="drop"
+    )
+    return SlotClaim(cand_ok, target, newly, cand_of_slot)
+
+
 def insert_rays(
     state: EKFState,
     pixels: jax.Array,
@@ -271,6 +318,11 @@ def insert_rays(
     the same call). Without this, new-ray uncertainty is uncorrelated with
     the camera and the filter can silently absorb pose error into the map
     (observed as a locked-in focal-length bias on noiseless data).
+
+    All writes are slot-major gathers + dense masked selects: the previous
+    per-candidate scatter of the (2K, 2K) new-new block was ~262k scattered
+    elements per frame and alone cost more device time than everything else
+    in the tracking step combined (profiled on v5e).
 
     Args:
       pixels: (K, 2) candidate keypoint positions.
@@ -290,59 +342,49 @@ def insert_rays(
     g_cam = jax.vmap(jax.jacfwd(g, argnums=0), (None, 0))(pose, pixels)  # (K,2,3)
     g_pix = jax.vmap(jax.jacfwd(g, argnums=1), (None, 0))(pose, pixels)  # (K,2,2)
 
-    # rank free slots and candidates; candidate j -> j-th free slot
-    free = ~state.active
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1   # rank among free slots
-    cand_rank = jnp.cumsum(cand_mask.astype(jnp.int32)) - 1
-    num_free = free.sum()
-    cand_ok = cand_mask & (cand_rank < num_free)
+    claim = claim_slots(state.active, cand_mask)
+    sel = claim.newly                                     # (N,)
+    safe = jnp.clip(claim.cand_of_slot, 0, k - 1)         # (N,) gather index
 
-    # slot index for each accepted candidate: position of free slot with
-    # rank == cand_rank. Build mapping free_rank -> slot index.
-    slot_of_rank = jnp.full((n,), n, jnp.int32)
-    slot_of_rank = slot_of_rank.at[jnp.where(free, free_rank, n)].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
-    )
-    target = jnp.where(cand_ok, slot_of_rank[jnp.clip(cand_rank, 0, n - 1)], n)
+    rays = jnp.where(sel[:, None], new_rays[safe], state.rays)
+    active = state.active | sel
+    ray_ids = jnp.where(sel, cand_ids[safe], state.ray_ids)
+    missed = jnp.where(sel, 0, state.missed)
 
-    rays = state.rays.at[target].set(new_rays, mode="drop")
-    active = state.active.at[target].set(True, mode="drop")
-    ray_ids = state.ray_ids.at[target].set(cand_ids, mode="drop")
-    missed = state.missed.at[target].set(0, mode="drop")
+    # --- covariance augmentation (slot-major, scatter-free) ---
+    zero2 = sel[:, None, None].astype(jnp.float32)
+    g_cam_s = g_cam[safe] * zero2                         # (N,2,3), 0 if old
+    g_pix_s = g_pix[safe] * zero2                         # (N,2,2)
 
-    # --- covariance augmentation ---
-    # 1) reset the claimed slots' rows/cols (stale identity blocks).
-    newly = jnp.zeros((n,), bool).at[target].set(True, mode="drop")
-    slot_rows = jnp.repeat(newly, 2)
-    full = jnp.concatenate([jnp.zeros((6,), bool), slot_rows])
+    # 1) clear the claimed slots' rows/cols (stale identity blocks).
+    slot_rows = jnp.repeat(sel, 2)
+    full = jnp.concatenate([jnp.zeros((6,), bool), slot_rows])  # (D,)
     cov = jnp.where(full[:, None] | full[None, :], 0.0, state.cov)
 
     # 2) cross-covariance of new rays vs the whole (cleared) state:
     #    P_new,* = G_c P_pose,*   (velocity/pixel terms have zero Jacobian).
     hi = jax.lax.Precision.HIGHEST
-    cross = jnp.einsum("kab,bD->kaD", g_cam, cov[0:3, :], precision=hi)  # (K,2,D)
-    # 3) new-new blocks: G_ci P_cc G_cj^T + delta_ij G_p R G_p^T.
+    cross = jnp.einsum("nab,bD->naD", g_cam_s, cov[0:3, :], precision=hi)
+    cross_full = jnp.concatenate(
+        [jnp.zeros((6, d), jnp.float32), cross.reshape(2 * n, d)]
+    )                                                     # (D, D)
+    cov = jnp.where(full[:, None], cross_full, cov)
+    cov = jnp.where(full[None, :], cross_full.T, cov)
+
+    # 3) new-new blocks: G_ci P_cc G_cj^T + delta_ij (G_p R G_p^T + prior).
     pcc = state.cov[0:3, 0:3]
-    gc_p = jnp.einsum("kab,bc->kac", g_cam, pcc, precision=hi)           # (K,2,3)
-    blocks = jnp.einsum("kac,ldc->kald", gc_p, g_cam, precision=hi)      # (K,2,K,2)
+    gc_p = jnp.einsum("nab,bc->nac", g_cam_s, pcc, precision=hi)     # (N,2,3)
+    blocks = jnp.einsum("nac,mdc->namd", gc_p, g_cam_s, precision=hi)
     pix_noise = cfg.sigma_obs**2 * jnp.einsum(
-        "kab,kcb->kac", g_pix, g_pix, precision=hi
+        "nab,ncb->nac", g_pix_s, g_pix_s, precision=hi
     )
     # extra diagonal prior keeps newly inserted rays from being overconfident
-    prior = (cfg.init_ray_std**2) * jnp.eye(2, dtype=jnp.float32)
-    eye_k = jnp.eye(k, dtype=jnp.float32)
-    blocks = blocks + eye_k[:, None, :, None] * (pix_noise + prior)[:, :, None, :]
+    prior = (cfg.init_ray_std**2) * zero2 * jnp.eye(2, dtype=jnp.float32)
+    eye_n = jnp.eye(n, dtype=jnp.float32)
+    blocks = blocks + eye_n[:, None, :, None] * (pix_noise + prior)[:, :, None, :]
+    blocks_full = jnp.pad(blocks.reshape(2 * n, 2 * n), ((6, 0), (6, 0)))
+    cov = jnp.where(full[:, None] & full[None, :], blocks_full, cov)
 
-    # scatter: row index of new-ray row a of candidate j is 6 + 2*target_j + a;
-    # rejected candidates get an out-of-range index and are dropped.
-    row_idx = jnp.where(
-        cand_ok[:, None], 6 + 2 * target[:, None] + jnp.arange(2)[None, :], d
-    ).reshape(-1)                                                # (2K,)
-    cov = cov.at[row_idx, :].set(cross.reshape(2 * k, d), mode="drop")
-    cov = cov.at[:, row_idx].set(cross.reshape(2 * k, d).T, mode="drop")
-    cov = cov.at[row_idx[:, None], row_idx[None, :]].set(
-        blocks.reshape(2 * k, 2 * k), mode="drop"
-    )
     return state._replace(
         rays=rays, active=active, ray_ids=ray_ids, missed=missed, cov=cov
     )

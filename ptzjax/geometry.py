@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Maximum |angle difference| fed to tan(); ~85.9 degrees. Observations beyond
 # the FOV margin are masked out by callers; the clip only guards NaN/Inf
@@ -45,28 +46,36 @@ ANGLE_CLIP = 1.5
 class Intrinsics(NamedTuple):
     """Per-sequence shared camera constants (reference: SURVEY.md §8.1).
 
+    Leaves are HOST numpy values on purpose: jitted closures embed them as
+    HLO literals (free), and host code can read them without a device->host
+    transfer. On this environment's PJRT tunnel a single d2h transfer
+    (float()/device_get) permanently degrades EVERY later dispatch from
+    ~0.1 ms to ~30 ms, and traced-in device-array constants cost the same
+    per dispatch — numpy leaves avoid both failure modes structurally.
+
     Attributes:
       cx, cy: principal point (pixels).
       center: camera center ``C`` in world coordinates, shape (3,).
       base_rotation: world -> camera-base rotation ``Rb``, shape (3, 3).
     """
 
-    cx: jax.Array
-    cy: jax.Array
-    center: jax.Array
-    base_rotation: jax.Array
+    cx: np.ndarray
+    cy: np.ndarray
+    center: np.ndarray
+    base_rotation: np.ndarray
 
     @staticmethod
-    def create(cx, cy, center=None, base_rotation=None, dtype=jnp.float32):
+    def create(cx, cy, center=None, base_rotation=None, dtype=None):
+        dtype = np.float32 if dtype is None else np.dtype(dtype)
         if center is None:
-            center = jnp.zeros((3,), dtype)
+            center = np.zeros((3,), dtype)
         if base_rotation is None:
-            base_rotation = jnp.eye(3, dtype=dtype)
+            base_rotation = np.eye(3, dtype=dtype)
         return Intrinsics(
-            cx=jnp.asarray(cx, dtype),
-            cy=jnp.asarray(cy, dtype),
-            center=jnp.asarray(center, dtype),
-            base_rotation=jnp.asarray(base_rotation, dtype),
+            cx=np.asarray(cx, dtype),
+            cy=np.asarray(cy, dtype),
+            center=np.asarray(center, dtype),
+            base_rotation=np.asarray(base_rotation, dtype),
         )
 
 

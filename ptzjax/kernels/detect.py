@@ -56,7 +56,10 @@ class KeypointTable(NamedTuple):
 
 def _smooth5(x: jax.Array) -> jax.Array:
     """Separable 5-tap binomial smoothing (approx Gaussian sigma~1)."""
-    k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], x.dtype) / 16.0
+    # python-float taps: a jnp constant created during tracing is captured
+    # as a device-array executable constant, which costs ~26 ms per dispatch
+    # on this backend (see kernels/flow.py _binomial5)
+    k = (1 / 16.0, 4 / 16.0, 6 / 16.0, 4 / 16.0, 1 / 16.0)
 
     def conv1d(a, axis):
         pad = [(0, 0), (0, 0)]

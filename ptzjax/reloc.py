@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ptzjax import match as matchlib
 from ptzjax.config import SLAMConfig
@@ -91,7 +92,9 @@ def solve_pose(
         h = jnp.einsum("nab,nac->bc", jw, jw, precision=_HI)
         g = jnp.einsum("nab,na->b", jw, rw, precision=_HI)
         h = h + damping * jnp.diag(jnp.diag(h)) + 1e-8 * jnp.eye(3)
-        step = jnp.linalg.solve(h, -g) * jnp.array([1.0, 1.0, 1.0 / fs])
+        # np (not jnp) constant: traced-in jnp constants become captured
+        # device buffers that stall every dispatch on this backend
+        step = jnp.linalg.solve(h, -g) * np.array([1.0, 1.0, 1.0 / fs], np.float32)
         return pose + step
 
     return jax.lax.fori_loop(0, iters, body, init_pose)

@@ -63,6 +63,12 @@ def _parse() -> argparse.Namespace:
         help="write trajectory/error curves (trajectory.png) — the "
              "reference's matplotlib eval plots",
     )
+    p.add_argument(
+        "--chunk", type=int, default=64,
+        help="frames per on-device lax.scan segment; per-frame info is "
+             "pulled once per chunk (device->host transfers degrade "
+             "dispatch latency on tunneled TPU backends)",
+    )
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--width", type=int, default=1280)
@@ -92,7 +98,7 @@ def main() -> None:
     from ptzjax import synth
     from ptzjax.config import SLAMConfig
     from ptzjax.geometry import Intrinsics
-    from ptzjax.slam import PTZSlam, info_to_dict
+    from ptzjax.slam import PTZSlam, infos_to_dicts
 
     cfg = SLAMConfig()
     if args.config:
@@ -216,40 +222,108 @@ def main() -> None:
         forest = RelocForest()
         _train_forest_on_new_keyframes(state)
 
+    # stacked feature tables: chunks run as single on-device lax.scans and
+    # per-frame info is pulled ONCE per chunk (a d2h transfer per frame
+    # permanently degrades dispatch latency on tunneled TPU backends)
+    xy_all = np.stack([np.asarray(f[0]) for f in feats])
+    desc_all = np.stack([np.asarray(f[1]) for f in feats])
+    valid_all = np.stack([np.asarray(f[2]) for f in feats])
+
+    chunk = max(1, args.chunk)
+
+    def padded_chunk(k, end):
+        """Pad [k, end) to the SAME static length: each distinct chunk shape
+        costs a full host-side retrace; padding frames are masked no-ops."""
+        n = end - k
+        pad = chunk - n
+        sl = slice(k, end)
+        xy_c = np.concatenate([xy_all[sl], np.repeat(xy_all[end - 1 : end], pad, 0)])
+        desc_c = np.concatenate([desc_all[sl], np.repeat(desc_all[end - 1 : end], pad, 0)])
+        valid_c = np.concatenate(
+            [valid_all[sl], np.zeros((pad,) + valid_all.shape[1:], bool)]
+        )
+        return xy_c, desc_c, valid_c, np.arange(chunk) < n
+
     records = []
-    lost_host = False
-    t0 = time.perf_counter()
-    for k in range(1, len(feats)):
-        if forest is not None and lost_host:
-            # forest path: the host resolves lost frames through the native
-            # regressor instead of the in-graph reloc branch (SURVEY.md §4.4
-            # path B)
-            xy, desc, valid = feats[k]
-            res = relocalize_rf(forest, desc, xy, valid, intr, cfg)
-            state = slam.apply_reloc_result(state, xy, desc, valid, res)
-            lost_host = not bool(res.success)
-            rec = {
-                "event": "reloc", "lost": lost_host,
-                "reloc_success": bool(res.success),
-                "reloc_inliers": int(res.inliers),
-                "pose": np.asarray(jax.device_get(state.ekf.pose)),
-                "num_matches": int(res.inliers), "num_used": int(res.inliers),
-                "innovation_rms": 0.0, "keyframe": False,
-                "active_slots": int(jax.device_get(state.ekf.active.sum())),
-                "max_kf_overlap": 1.0,
-            }
-        else:
-            state, finfo = slam.step(state, *feats[k])
-            rec = info_to_dict(finfo)
-            lost_host = rec["lost"]
-            if forest is not None and rec["keyframe"]:
-                _train_forest_on_new_keyframes(state)
-        rec["frame"] = k
-        records.append(rec)
-        if args.checkpoint_every and k % args.checkpoint_every == 0:
-            ckpt.save_pytree(os.path.join(args.out, f"state_{k:06d}.npz"), state)
-    jax.block_until_ready(state)
-    wall = time.perf_counter() - t0
+    interactive = forest is not None or args.checkpoint_every
+    if not interactive:
+        # single on-device lax.scan over the whole sequence with ZERO
+        # device->host transfers inside the clock (the first d2h of a
+        # process costs ~60 s and permanently degrades later dispatches
+        # ~300x on this PJRT tunnel); per-frame info is pulled once at the
+        # end. Warm up trace+compile with an all-masked (no-op) pass first
+        # so the reported fps is the loop, not the one-time jit cost.
+        t = len(feats) - 1
+        # features on device before the clock (the frontend produces them
+        # on device in the from-pixels pipeline; here they come from host
+        # oracles/stacks)
+        xy_d = jnp.asarray(xy_all[1:])
+        desc_d = jnp.asarray(desc_all[1:])
+        valid_d = jnp.asarray(valid_all[1:])
+        state_w, _ = slam.run_segment(
+            state, xy_d, desc_d, valid_d, np.zeros((t,), bool)
+        )
+        jax.block_until_ready(state_w)
+        t0 = time.perf_counter()
+        state, infos = slam.run_segment(state, xy_d, desc_d, valid_d)
+        jax.block_until_ready(state)
+        wall = time.perf_counter() - t0
+        records = infos_to_dicts(infos, frame0=1)
+    else:
+        # warm up trace+compile with an all-masked (pure no-op) chunk
+        xy_w, desc_w, valid_w, _ = padded_chunk(0, min(chunk, len(feats)))
+        state_w, _ = slam.run_segment(
+            state, xy_w, desc_w, valid_w, np.zeros((chunk,), bool)
+        )
+        jax.block_until_ready(state_w)
+        # interactive loop (native-forest reloc and/or periodic checkpoints
+        # need host decisions): pay the tunnel handshake before the clock
+        float(state_w.frame_idx)  # one tiny d2h: absorbs the ~60 s first-transfer cost
+        lost_host = False
+        t0 = time.perf_counter()
+        k = 1
+        while k < len(feats):
+            if forest is not None and lost_host:
+                # forest path: the host resolves frames the in-graph reloc
+                # could not recover through the native regressor (SURVEY.md
+                # §4.4 path B), one frame at a time until tracking resumes
+                xy, desc, valid = feats[k]
+                res = relocalize_rf(forest, desc, xy, valid, intr, cfg)
+                state = slam.apply_reloc_result(state, xy, desc, valid, res)
+                lost_host = not bool(res.success)
+                records.append({
+                    "frame": k, "event": "reloc", "lost": lost_host,
+                    "reloc_success": bool(res.success),
+                    "reloc_inliers": int(res.inliers),
+                    "pose": np.asarray(jax.device_get(state.ekf.pose)),
+                    "num_matches": int(res.inliers), "num_used": int(res.inliers),
+                    "innovation_rms": 0.0, "keyframe": False,
+                    "active_slots": int(jax.device_get(state.ekf.active.sum())),
+                    "max_kf_overlap": 1.0,
+                })
+                k += 1
+                continue
+            end = min(k + chunk, len(feats))
+            if args.checkpoint_every:
+                # stop chunks exactly on checkpoint frames
+                next_ckpt = (
+                    (k - 1) // args.checkpoint_every + 1
+                ) * args.checkpoint_every
+                end = min(end, next_ckpt + 1)
+            state, infos = slam.run_segment(state, *padded_chunk(k, end))
+            recs = infos_to_dicts(infos, frame0=k)[: end - k]
+            records.extend(recs)
+            if forest is not None:
+                if any(r["keyframe"] for r in recs):
+                    _train_forest_on_new_keyframes(state)
+                lost_host = recs[-1]["lost"]
+            if args.checkpoint_every and (end - 1) % args.checkpoint_every == 0:
+                ckpt.save_pytree(
+                    os.path.join(args.out, f"state_{end - 1:06d}.npz"), state
+                )
+            k = end
+        jax.block_until_ready(state)
+        wall = time.perf_counter() - t0
 
     if args.ba:
         state, ba_info = slam.bundle_adjust(state)

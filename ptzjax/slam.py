@@ -114,15 +114,25 @@ class PTZSlam:
         return state, info_to_dict(finfo)
 
     def run_segment(
-        self, state: SlamState, xy_seq, desc_seq, valid_seq
+        self, state: SlamState, xy_seq, desc_seq, valid_seq, frame_ok=None
     ) -> tuple[SlamState, FrameInfo]:
         """Process a whole chunk of frames as one lax.scan on device — the
-        broadcast-rate online path (amortizes all dispatch overhead)."""
+        broadcast-rate online path (amortizes all dispatch overhead).
+
+        ``frame_ok`` (T,) masks padding frames: a False entry is a pure
+        no-op (state passes through untouched), letting callers pad every
+        chunk to ONE static length — each distinct chunk length costs a
+        full host-side retrace (~seconds), far more than the masked frames.
+        """
+        t = jnp.asarray(xy_seq).shape[0]
+        if frame_ok is None:
+            frame_ok = jnp.ones((t,), bool)
         return self._segment(
             state,
             jnp.asarray(xy_seq),
             jnp.asarray(desc_seq),
             jnp.asarray(valid_seq),
+            jnp.asarray(frame_ok),
         )
 
     def bundle_adjust(self, state: SlamState) -> tuple[SlamState, dict[str, Any]]:
@@ -173,19 +183,11 @@ def _grow_map(state: SlamState, xy, desc, cand_mask, *, cfg, intr):
     ekf_state = ekflib.insert_rays(
         state.ekf, xy, accept, ids, intr, cfg
     )
-    # record descriptors on the slots that were just claimed: recompute the
-    # same slot targets (free-slot ranking is deterministic)
-    free = ~state.ekf.active
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    n = state.ekf.capacity
-    cand_rank = jnp.cumsum(accept.astype(jnp.int32)) - 1
-    num_free = free.sum()
-    cand_ok = accept & (cand_rank < num_free)
-    slot_of_rank = jnp.full((n,), n, jnp.int32).at[
-        jnp.where(free, free_rank, n)
-    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-    target = jnp.where(cand_ok, slot_of_rank[jnp.clip(cand_rank, 0, n - 1)], n)
-    slot_desc = state.slot_desc.at[target].set(desc, mode="drop")
+    # record descriptors on the slots that were just claimed (same
+    # deterministic claim as insert_rays; gather + select, no scatter)
+    claim = ekflib.claim_slots(state.ekf.active, accept)
+    safe = jnp.clip(claim.cand_of_slot, 0, desc.shape[0] - 1)
+    slot_desc = jnp.where(claim.newly[:, None], desc[safe], state.slot_desc)
     return state._replace(ekf=ekf_state, slot_desc=slot_desc, rays=rays_store), accept
 
 
@@ -299,11 +301,11 @@ def _relocalize(state: SlamState, xy, desc, valid, *, cfg, intr):
             ekf_state.rays,
         )
         ekf_state = ekf_state._replace(rays=slot_ray)
-        # slot descriptors: all slots were free pre-insert, so candidate j
-        # landed in slot rank(j); recompute the deterministic targets
-        cand_rank = jnp.cumsum(res.matched_ok.astype(jnp.int32)) - 1
-        target = jnp.where(res.matched_ok, cand_rank, n)
-        slot_desc = jnp.zeros_like(state.slot_desc).at[target].set(desc, mode="drop")
+        # slot descriptors: all slots were free pre-insert, so the claim is
+        # the same deterministic assignment insert_rays used
+        claim = ekflib.claim_slots(jnp.zeros((n,), bool), res.matched_ok)
+        safe = jnp.clip(claim.cand_of_slot, 0, desc.shape[0] - 1)
+        slot_desc = jnp.where(claim.newly[:, None], desc[safe], 0.0)
         return state._replace(
             ekf=ekf_state, slot_desc=slot_desc, lost=jnp.asarray(False),
             frame_idx=state.frame_idx + 1,
@@ -373,17 +375,45 @@ def _frame_step(state: SlamState, xy, desc, valid, *, cfg, intr):
     return jax.lax.cond(state.lost, do_reloc, do_track, None)
 
 
-def _run_segment(state: SlamState, xy_seq, desc_seq, valid_seq, *, cfg, intr):
-    def body(s, frame):
-        xy, desc, valid = frame
-        return _frame_step(s, xy, desc, valid, cfg=cfg, intr=intr)
+def _run_segment(
+    state: SlamState, xy_seq, desc_seq, valid_seq, frame_ok, *, cfg, intr
+):
+    def skip(s):
+        info = FrameInfo(
+            pose=s.ekf.pose,
+            num_matches=jnp.asarray(0, jnp.int32),
+            num_used=jnp.asarray(0, jnp.int32),
+            innovation_rms=jnp.asarray(0.0, jnp.float32),
+            lost=s.lost,
+            num_active_slots=s.ekf.active.sum(),
+            max_kf_overlap=jnp.asarray(1.0, jnp.float32),
+            event=jnp.asarray(2, jnp.int32),  # 2 = padding no-op
+            keyframe=jnp.asarray(False),
+            reloc_success=jnp.asarray(False),
+        )
+        return s, info
 
-    return jax.lax.scan(body, state, (xy_seq, desc_seq, valid_seq))
+    def body(s, frame):
+        xy, desc, valid, ok = frame
+        return jax.lax.cond(
+            ok,
+            lambda _: _frame_step(s, xy, desc, valid, cfg=cfg, intr=intr),
+            lambda _: skip(s),
+            None,
+        )
+
+    return jax.lax.scan(body, state, (xy_seq, desc_seq, valid_seq, frame_ok))
 
 
 def info_to_dict(finfo: FrameInfo) -> dict[str, Any]:
     """One device->host transfer; mirrors the reference's per-frame logging
-    (SURVEY.md §7 metrics/observability)."""
+    (SURVEY.md §7 metrics/observability).
+
+    NOTE: on this environment's PJRT tunnel the FIRST device->host transfer
+    of the process permanently degrades subsequent dispatch latency from
+    ~0.1 ms to ~30 ms — prefer ``run_segment`` + ``infos_to_dicts`` (one
+    transfer per chunk) over per-frame ``process``/``info_to_dict`` anywhere
+    throughput matters."""
     h = jax.device_get(finfo)
     track = int(h.event) == 0
     return {
@@ -399,6 +429,32 @@ def info_to_dict(finfo: FrameInfo) -> dict[str, Any]:
         "reloc_success": bool(h.reloc_success),
         "reloc_inliers": int(h.num_used),
     }
+
+
+def infos_to_dicts(infos: FrameInfo, frame0: int = 1) -> list[dict[str, Any]]:
+    """Stacked FrameInfo (from ``run_segment``) -> per-frame dicts, with ONE
+    device->host transfer for the whole chunk."""
+    h = jax.device_get(infos)
+    out = []
+    for k in range(len(np.asarray(h.pose))):
+        track = int(h.event[k]) == 0
+        out.append(
+            {
+                "frame": frame0 + k,
+                "event": "track" if track else "reloc",
+                "pose": np.asarray(h.pose[k]),
+                "num_matches": int(h.num_matches[k]),
+                "num_used": int(h.num_used[k]),
+                "innovation_rms": float(h.innovation_rms[k]),
+                "lost": bool(h.lost[k]),
+                "active_slots": int(h.num_active_slots[k]),
+                "max_kf_overlap": float(h.max_kf_overlap[k]),
+                "keyframe": bool(h.keyframe[k]),
+                "reloc_success": bool(h.reloc_success[k]),
+                "reloc_inliers": int(h.num_used[k]),
+            }
+        )
+    return out
 
 
 def _run_ba(state: SlamState, *, cfg, intr):
