@@ -53,6 +53,12 @@ def _parse() -> argparse.Namespace:
              "from keyframes (the reference's rf_map variant)",
     )
     p.add_argument(
+        "--frontend", type=str, default="tpu", choices=["tpu", "cv2"],
+        help="image modes: 'tpu' = the on-device Harris/SIFT/LK kernels; "
+             "'cv2' = OpenCV SIFT + calcOpticalFlowPyrLK ingestion (the "
+             "reference's own vision layer — BASELINE.md config 1)",
+    )
+    p.add_argument(
         "--tracker", type=str, default="slam", choices=["slam", "homography"],
         help="'slam' = the full keyframe+map system; 'homography' = the "
              "frame-to-frame homography-EKF baseline (the reference's "
@@ -142,52 +148,35 @@ def main() -> None:
         gt = seq.cameras
         intr = Intrinsics.create(float(seq.intr.cx), float(seq.intr.cy))
     elif args.synthetic_images:
-        from ptzjax.frontend import extract_features, track_features
-
+        extract, track = _make_frontend(args, cfg)
         intr = Intrinsics.create(args.width / 2.0, args.height / 2.0)
         pano = synth.make_panorama(seed=args.seed)
         gt = synth.make_trajectory(args.frames, seed=args.seed)
-        use_pallas = jax.default_backend() == "tpu"
         feats = []
         prev_img = None
         for c in gt:
-            img = jnp.asarray(
-                synth.render_image(pano, c, intr, args.width, args.height)
-            )
+            img = synth.render_image(pano, c, intr, args.width, args.height)
             if args.klt and prev_img is not None:
-                xy, desc, valid, _ = track_features(
-                    prev_img, img, feats[-1][0], feats[-1][2], cfg,
-                    use_pallas=use_pallas,
-                )
-                feats.append((xy, desc, valid))
+                feats.append(track(prev_img, img, feats[-1]))
             else:
-                feats.append(extract_features(img, cfg, use_pallas=use_pallas))
+                feats.append(extract(img))
             prev_img = img
     else:
         if not args.annotation or not args.images:
             raise SystemExit("dataset mode needs --annotation and --images")
-        from ptzjax.frontend import extract_features, track_features
-
+        extract, track = _make_frontend(args, cfg)
         seqm = iolib.SequenceManager(args.annotation, args.images)
         intr = seqm.ann.intr
         gt = seqm.ann.cameras[: args.frames]
-        use_pallas = jax.default_backend() == "tpu"
         feats = []
         prev_img = None
         for k in range(min(args.frames, seqm.length)):
-            img = jnp.asarray(seqm.get_image(k))
+            img = seqm.get_image(k)
             mask = seqm.get_mask(k, img.shape[0], img.shape[1])
-            mask = None if mask is None else jnp.asarray(mask)
             if args.klt and prev_img is not None:
-                xy, desc, valid, _ = track_features(
-                    prev_img, img, feats[-1][0], feats[-1][2], cfg,
-                    mask=mask, use_pallas=use_pallas,
-                )
-                feats.append((xy, desc, valid))
+                feats.append(track(prev_img, img, feats[-1], mask=mask))
             else:
-                feats.append(
-                    extract_features(img, cfg, mask=mask, use_pallas=use_pallas)
-                )
+                feats.append(extract(img, mask=mask))
             prev_img = img
 
     # --- run ------------------------------------------------------------------
@@ -352,6 +341,56 @@ def main() -> None:
             records=records, title=os.path.basename(args.out.rstrip("/")),
         )
     print(json.dumps(summary, indent=2))
+
+
+def _make_frontend(args, cfg):
+    """Return (extract(img, mask=None), track(prev_img, img, prev_feats,
+    mask=None)) -> (xy, desc, valid) for the selected --frontend."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.frontend == "cv2":
+        from ptzjax.frontend_cv2 import extract_features_cv2, track_features_cv2
+
+        def extract(img, mask=None):
+            f = extract_features_cv2(
+                np.asarray(img), cfg,
+                mask=None if mask is None else np.asarray(mask),
+            )
+            return f.xy, f.desc, f.valid
+
+        def track(prev_img, img, prev_feats, mask=None):
+            xy, desc, valid, _ = track_features_cv2(
+                np.asarray(prev_img), np.asarray(img),
+                prev_feats[0], prev_feats[1], prev_feats[2], cfg,
+                mask=None if mask is None else np.asarray(mask),
+            )
+            return xy, desc, valid
+
+        return extract, track
+
+    from ptzjax.frontend import extract_features, track_features
+
+    use_pallas = jax.default_backend() == "tpu"
+
+    def extract(img, mask=None):
+        return extract_features(
+            jnp.asarray(img), cfg,
+            mask=None if mask is None else jnp.asarray(mask),
+            use_pallas=use_pallas,
+        )
+
+    def track(prev_img, img, prev_feats, mask=None):
+        xy, desc, valid, _ = track_features(
+            jnp.asarray(prev_img), jnp.asarray(img),
+            prev_feats[0], prev_feats[2], cfg,
+            mask=None if mask is None else jnp.asarray(mask),
+            use_pallas=use_pallas,
+        )
+        return xy, desc, valid
+
+    return extract, track
 
 
 def _run_homography_baseline(args, cfg, intr, feats, gt) -> None:

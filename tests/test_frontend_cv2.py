@@ -65,3 +65,36 @@ def test_cv2_slam_tracks_rendered_sequence():
     assert not lost.any(), np.nonzero(lost)[0]
     pan_err = np.abs(pose[:, 0] - cams[1:, 0])
     assert pan_err.mean() < 3e-3, pan_err.mean()
+
+
+def test_track_features_cv2_klt():
+    """cv2 KLT frontend (calcOpticalFlowPyrLK + fb check + SIFT refill):
+    tracked points must follow the true PTZ motion."""
+    from ptzjax.frontend_cv2 import track_features_cv2
+
+    pano = synth.make_panorama(
+        theta_range=(-0.5, 0.5), phi_range=(-0.3, 0.18),
+        texels_per_rad=2200.0, seed=6,
+    )
+    intr = Intrinsics.create(W / 2.0, H / 2.0)
+    cam0 = np.array([0.02, -0.04, 1100.0], np.float32)
+    cam1 = cam0 + np.array([0.004, -0.001, 3.0], np.float32)
+    img0 = synth.render_image(pano, cam0, intr, W, H)
+    img1 = synth.render_image(pano, cam1, intr, W, H)
+    cfg = SLAMConfig(max_keypoints=256)
+    f0 = extract_features_cv2(np.asarray(img0), cfg)
+    assert f0.valid.sum() > 50
+    xy, desc, valid, tracked = track_features_cv2(
+        np.asarray(img0), np.asarray(img1), f0.xy, f0.desc, f0.valid, cfg
+    )
+    assert tracked.sum() > 0.5 * f0.valid.sum()
+    # tracked displacement must match projecting through the new camera
+    import jax.numpy as jnp
+
+    from ptzjax.geometry import back_project_pixels, project_rays
+
+    rows = np.flatnonzero(tracked)
+    rays = back_project_pixels(jnp.asarray(cam0), jnp.asarray(f0.xy[rows]), intr)
+    expect = np.asarray(project_rays(jnp.asarray(cam1), rays, intr))
+    err = np.linalg.norm(expect - xy[rows], axis=-1)
+    assert np.median(err) < 1.0, float(np.median(err))
