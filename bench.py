@@ -7,6 +7,14 @@ frame-rate on 1 chip"): full per-frame pipeline — gated descriptor matching,
 joint (camera x 128-ray) EKF update, slot lifecycle, keyframe policy,
 reloc branch — in segment (lax.scan) mode on a synthetic broadcast sequence.
 
+Timing methodology (load-bearing on this environment's PJRT tunnel): before
+any device->host readback the tunnel runs LAZILY — dispatches are acked
+without executing, so wall-clock without a readback measures queueing, not
+compute (chained 8k matmuls "finish" in microseconds). The bench therefore
+does one tiny readback first (flips the tunnel synchronous) and then times
+segment + result readback, best of several reps. Cross-checked against the
+device profiler's module time (within ~25%).
+
 vs_baseline: the reference implementation is offline-speed Python with no
 published throughput (BASELINE.md: published == {}; reference mount empty),
 so the ratio is against the 30 fps broadcast real-time bar that defines the
@@ -61,14 +69,17 @@ def main() -> None:
     # warm-up / compile
     s2, infos = slam.run_segment(state, xy[1:], desc[1:], valid[1:])
     jax.block_until_ready(s2)
+    # flip the tunnel into synchronous mode (see module docstring): without
+    # this, timings measure queue acks, not execution
+    _ = float(s2.frame_idx)
 
-    # timed runs
-    reps = 3
+    # timed runs: readback INSIDE the clock forces real completion
+    reps = 5
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         s2, infos = slam.run_segment(state, xy[1:], desc[1:], valid[1:])
-        jax.block_until_ready(s2)
+        _ = float(s2.ekf.cam[0])
         best = min(best, time.perf_counter() - t0)
     fps = (frames - 1) / best
 
