@@ -23,6 +23,13 @@ class SLAMConfig:
     detector_threshold: float = 0.01  # Harris/DoG response floor
     nms_cell: int = 16                # grid NMS cell size (pixels)
 
+    # --- descriptor zoom normalization (SURVEY.md §8.5) ---
+    # focal is EKF state, so descriptors can keep a constant ANGULAR
+    # footprint by sampling at scale = f / descriptor_f_ref instead of
+    # building a scale pyramid (the reference gets this from SIFT octaves).
+    # 0 disables (fixed 1-px spacing).
+    descriptor_f_ref: float = 0.0
+
     # --- matching ---
     ratio_test: float = 0.8           # Lowe ratio (squared-distance form used)
     max_matches: int = 512
@@ -61,7 +68,13 @@ class SLAMConfig:
     keyframe_overlap: float = 0.55    # insert keyframe when view overlap drops
     kf_desc_dim: int = 128
 
+    # --- map ray lifecycle (cull/merge — reference scene_map.py, SURVEY §3) ---
+    ray_cull_age: int = 90            # frames a views==0 ray may go unseen
+    merge_angle_tol: float = 1.5e-3   # rad: duplicate-ray merge radius
+    merge_desc_min: float = 0.85      # min descriptor cosine to merge/dedupe
+
     # --- bundle adjustment (SURVEY.md §8.4) ---
+    ba_max_views_per_ray: int = 8     # C: observation-table columns per ray
     ba_iters: int = 20
     ba_lambda0: float = 1e-3
     ba_lambda_up: float = 4.0

@@ -126,6 +126,7 @@ class UpdateStats(NamedTuple):
     num_observed: jax.Array   # observations offered (active slot + valid)
     innovation_rms: jax.Array # gated-innovation RMS in pixels
     lost: jax.Array           # bool: too few inliers => tracking lost
+    used_mask: jax.Array      # (N,) bool: slot's observation passed the gate
 
 
 def update(
@@ -237,6 +238,7 @@ def update(
         num_observed=num_obs,
         innovation_rms=rms,
         lost=num_used < cfg.min_inliers,
+        used_mask=used,
     )
     missed = jnp.where(used, 0, state.missed + state.active.astype(jnp.int32))
     return state._replace(cam=cam, rays=rays, cov=cov, missed=missed), stats

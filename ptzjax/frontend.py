@@ -21,12 +21,22 @@ from ptzjax.kernels.descriptor import describe_keypoints
 from ptzjax.kernels.detect import detect_keypoints
 
 
+def _desc_scale(cfg: SLAMConfig, focal) -> jax.Array | None:
+    """Per-frame descriptor sample spacing from the current focal estimate
+    (zoom normalization — VERDICT r1 item 3). None when disabled or no
+    focal estimate is available."""
+    if focal is None or cfg.descriptor_f_ref <= 0:
+        return None
+    return jnp.asarray(focal, jnp.float32) / cfg.descriptor_f_ref
+
+
 @partial(jax.jit, static_argnames=("cfg", "use_pallas"))
 def extract_features(
     img: jax.Array,
     cfg: SLAMConfig,
     mask: jax.Array | None = None,
     use_pallas: bool = True,
+    focal: jax.Array | None = None,
 ):
     """Detect + describe one grayscale frame.
 
@@ -35,6 +45,9 @@ def extract_features(
       mask: optional (H, W) bool, True where detection is allowed (the
         complement of the reference's player bounding boxes).
       use_pallas: fused TPU detector kernel (jax fallback off-TPU).
+      focal: optional current focal-length estimate; with
+        cfg.descriptor_f_ref set, descriptors sample at f/f_ref spacing so
+        their angular footprint is zoom-invariant.
 
     Returns:
       (xy (K, 2), desc (K, D), valid (K,)) with K = cfg.max_keypoints.
@@ -46,7 +59,7 @@ def extract_features(
         mask=mask,
         use_pallas=use_pallas,
     )
-    desc = describe_keypoints(img, kp.xy, kp.valid)
+    desc = describe_keypoints(img, kp.xy, kp.valid, scale=_desc_scale(cfg, focal))
     return kp.xy, desc, kp.valid
 
 
@@ -59,6 +72,7 @@ def track_features(
     cfg: SLAMConfig,
     mask: jax.Array | None = None,
     use_pallas: bool = True,
+    focal: jax.Array | None = None,
 ):
     """KLT-mode frontend step: track the existing keypoint table into the
     next frame, refill dead slots with fresh detections, refresh descriptors.
@@ -117,7 +131,9 @@ def track_features(
 
     new_xy = res.xy.at[target].set(kp.xy, mode="drop")
     new_valid = tracked.at[target].set(True, mode="drop")
-    desc = describe_keypoints(img_next, new_xy, new_valid)
+    desc = describe_keypoints(
+        img_next, new_xy, new_valid, scale=_desc_scale(cfg, focal)
+    )
     return new_xy, desc, new_valid, tracked
 
 

@@ -39,6 +39,11 @@ CELLS = 4           # spatial cells per side
 ORI_BINS = 8
 DESC_DIM = CELLS * CELLS * ORI_BINS  # 128
 
+# scaled-sampling window (PTZ zoom normalization): big enough to resample a
+# (PATCH+2)-sample grid at spacing up to MAX_SCALE from its center
+MAX_SCALE = 2.5
+SCALED_WIN = 46
+
 
 def _patch_grid() -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sample offsets relative to the keypoint: PATCH x PATCH centered."""
@@ -64,9 +69,50 @@ def _spatial_weights() -> jnp.ndarray:
     return jnp.stack(w, -1) * gauss[:, None]  # (P*P, C*C)
 
 
+def _extract_aligned(img: jax.Array, xy: jax.Array, win: int) -> jax.Array:
+    """Per-keypoint (win, win) windows, subpixel-aligned to the keypoint.
+
+    One contiguous ``dynamic_slice`` per keypoint (whole rows — no scattered
+    gathers), then the 4-shift bilinear blend: all samples of one keypoint
+    share the same fractional offset, so the blend IS the interpolation.
+    Returned window center (index (win-1)/2 + 0.5 convention) sits exactly
+    on the keypoint.
+    """
+    h, w = img.shape
+    half = win // 2
+    pad = half + 1
+    pimg = jnp.pad(img, pad, mode="edge")
+    y0 = jnp.floor(xy[:, 1] + 0.5).astype(jnp.int32)
+    x0 = jnp.floor(xy[:, 0] + 0.5).astype(jnp.int32)
+    fy = jnp.clip(xy[:, 1] + 0.5 - y0, 0.0, 1.0)[:, None, None]
+    fx = jnp.clip(xy[:, 0] + 0.5 - x0, 0.0, 1.0)[:, None, None]
+    # sub row i samples y + (i - (win-1)/2): symmetric half-integer grid
+    ys = jnp.clip(y0 - half + pad, 0, h + 2 * pad - win - 1)
+    xs = jnp.clip(x0 - half + pad, 0, w + 2 * pad - win - 1)
+    patches = jax.vmap(
+        lambda yy, xx: jax.lax.dynamic_slice(pimg, (yy, xx), (win + 1, win + 1))
+    )(ys, xs)                                            # (K, win+1, win+1)
+    return (
+        patches[:, :-1, :-1] * (1 - fy) * (1 - fx)
+        + patches[:, :-1, 1:] * (1 - fy) * fx
+        + patches[:, 1:, :-1] * fy * (1 - fx)
+        + patches[:, 1:, 1:] * fy * fx
+    )                                                    # (K, win, win)
+
+
+def _resample_matrix(scale: jax.Array, n_out: int, win: int) -> jax.Array:
+    """(n_out, win) shared bilinear resampling weights: output sample i sits
+    at (i - (n_out-1)/2) * scale from the window center. ``scale`` is a
+    traced per-frame scalar — weights are data, shapes are static."""
+    off = (jnp.arange(n_out, dtype=jnp.float32) - (n_out - 1) / 2.0) * scale
+    pos = off + (win - 1) / 2.0                          # (n_out,)
+    j = jnp.arange(win, dtype=jnp.float32)
+    return jnp.clip(1.0 - jnp.abs(pos[:, None] - j[None, :]), 0.0, 1.0)
+
+
 @partial(jax.jit, static_argnames=())
 def describe_keypoints(
-    img: jax.Array, xy: jax.Array, valid: jax.Array
+    img: jax.Array, xy: jax.Array, valid: jax.Array, scale: jax.Array | None = None
 ) -> jax.Array:
     """Compute (K, 128) unit-norm upright-SIFT descriptors.
 
@@ -74,41 +120,32 @@ def describe_keypoints(
       img: (H, W) grayscale float image.
       xy: (K, 2) subpixel keypoint positions (x, y).
       valid: (K,) bool; invalid rows return zero descriptors.
+      scale: optional per-frame sample spacing in pixels (a traced scalar).
+        This is the PTZ zoom normalization (SURVEY.md §8.5; the reference's
+        SIFT is scale-invariant via a pyramid): focal length is state, so
+        sampling at ``scale = f / f_ref`` keeps the descriptor's ANGULAR
+        footprint constant across zoom — no octave pyramid needed. Clamped
+        to [1/MAX_SCALE, MAX_SCALE]. None = fixed 1-pixel spacing (slightly
+        cheaper; identical to scale=1).
 
     Returns:
       (K, 128) fp32, L2-normalized per row (zeros where invalid).
     """
     img = img.astype(jnp.float32)
-    h, w = img.shape
-    c = PATCH // 2  # integer offset of the patch corner from the center
 
-    # window: PATCH+1 for the bilinear shift, +2 for the gradient stencil
-    win = PATCH + 3
-    pad = c + 2
-    pimg = jnp.pad(img, pad, mode="edge")
-
-    # sample offsets are i - (PATCH-1)/2 = i - c + 0.5: fold the half-pixel
-    # into the fractional part so positions match _patch_grid exactly
-    y0 = jnp.floor(xy[:, 1] + 0.5).astype(jnp.int32)
-    x0 = jnp.floor(xy[:, 0] + 0.5).astype(jnp.int32)
-    fy = jnp.clip(xy[:, 1] + 0.5 - y0, 0.0, 1.0)[:, None, None]
-    fx = jnp.clip(xy[:, 0] + 0.5 - x0, 0.0, 1.0)[:, None, None]
-    # corner of the (win, win) window in padded coordinates
-    ys = jnp.clip(y0 - c - 1 + pad, 0, h + 2 * pad - win)
-    xs = jnp.clip(x0 - c - 1 + pad, 0, w + 2 * pad - win)
-
-    patches = jax.vmap(
-        lambda yy, xx: jax.lax.dynamic_slice(pimg, (yy, xx), (win, win))
-    )(ys, xs)                                            # (K, win, win)
-
-    # subpixel alignment: blend 4 static shifts (all samples of a keypoint
-    # share the fractional offset, so this IS the bilinear interpolation)
-    sub = (
-        patches[:, :-1, :-1] * (1 - fy) * (1 - fx)
-        + patches[:, :-1, 1:] * (1 - fy) * fx
-        + patches[:, 1:, :-1] * fy * (1 - fx)
-        + patches[:, 1:, 1:] * fy * fx
-    )                                                    # (K, P+2, P+2)
+    if scale is None:
+        sub = _extract_aligned(img, xy, PATCH + 2)       # (K, P+2, P+2)
+    else:
+        s = jnp.clip(
+            jnp.asarray(scale, jnp.float32), 1.0 / MAX_SCALE, MAX_SCALE
+        )
+        windows = _extract_aligned(img, xy, SCALED_WIN)  # (K, W, W)
+        r = _resample_matrix(s, PATCH + 2, SCALED_WIN)   # (P+2, W)
+        # separable shared-weight resample: two small MXU matmuls
+        sub = jnp.einsum(
+            "iw,kwv,jv->kij", r, windows, r,
+            preferred_element_type=jnp.float32,
+        )                                                # (K, P+2, P+2)
 
     # central-difference gradients inside the aligned patch
     gxs = 0.5 * (sub[:, 1:-1, 2:] - sub[:, 1:-1, :-2])   # (K, P, P)

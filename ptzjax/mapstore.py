@@ -30,12 +30,19 @@ from ptzjax.config import SLAMConfig
 class RayStore(NamedTuple):
     """Global ray landmarks.
 
+    Rows are a free list: ``valid`` marks live rays, and ``add_rays`` claims
+    invalid rows (in deterministic slot order), so rows recycled by
+    ``cull_rays``/``merge_rays`` are reused — the store never "fills up" as
+    long as the lifecycle retires dead rays (reference ``scene_map.py`` ray
+    lifecycle add/merge/cull — SURVEY.md §3).
+
     Attributes:
       rays: (M, 2) current estimates.
       desc: (M, D) representative unit descriptor (first observation's).
       valid: (M,) bool.
       views: (M,) int32 number of keyframes observing the ray.
-      count: () int32 allocated rows.
+      count: () int32 number of live rays (== valid.sum()).
+      last_seen: (M,) int32 frame index of the last confirmed observation.
     """
 
     rays: jax.Array
@@ -43,6 +50,7 @@ class RayStore(NamedTuple):
     valid: jax.Array
     views: jax.Array
     count: jax.Array
+    last_seen: jax.Array
 
 
 class KeyframeStore(NamedTuple):
@@ -72,6 +80,7 @@ def init_ray_store(cfg: SLAMConfig) -> RayStore:
         valid=jnp.zeros((m,), bool),
         views=jnp.zeros((m,), jnp.int32),
         count=jnp.asarray(0, jnp.int32),
+        last_seen=jnp.zeros((m,), jnp.int32),
     )
 
 
@@ -90,38 +99,164 @@ def init_keyframe_store(cfg: SLAMConfig) -> KeyframeStore:
 
 
 def add_rays(
-    store: RayStore, rays: jax.Array, desc: jax.Array, mask: jax.Array
+    store: RayStore,
+    rays: jax.Array,
+    desc: jax.Array,
+    mask: jax.Array,
+    frame_idx: jax.Array | int = 0,
 ) -> tuple[RayStore, jax.Array]:
-    """Allocate global ids for new rays (contiguous from store.count).
+    """Allocate rows for new rays from the free list (invalid rows, in slot
+    order — the j-th accepted candidate claims the j-th free row), so culled
+    and merged rows are recycled.
 
     Args:
       rays: (B, 2); desc: (B, D); mask: (B,) candidates to allocate.
+      frame_idx: current frame (stamps ``last_seen``).
 
     Returns:
       (store, ids): ids (B,) int32, -1 where not allocated (masked out or
       capacity exhausted).
     """
     m = store.rays.shape[0]
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    ids = store.count + rank
-    ok = mask & (ids < m)
-    ids = jnp.where(ok, ids, -1)
+    free = ~store.valid
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    slot_of_rank = jnp.full((m,), m, jnp.int32).at[
+        jnp.where(free, free_rank, m)
+    ].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+    cand_rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    ok = mask & (cand_rank < free.sum())
+    ids = jnp.where(ok, slot_of_rank[jnp.clip(cand_rank, 0, m - 1)], -1)
     tgt = jnp.where(ok, ids, m)
     new = RayStore(
         rays=store.rays.at[tgt].set(rays, mode="drop"),
         desc=store.desc.at[tgt].set(desc, mode="drop"),
         valid=store.valid.at[tgt].set(True, mode="drop"),
-        views=store.views,
-        count=jnp.minimum(store.count + mask.sum().astype(jnp.int32), m),
+        views=store.views.at[tgt].set(0, mode="drop"),
+        count=store.count + ok.sum().astype(jnp.int32),
+        last_seen=store.last_seen.at[tgt].set(
+            jnp.asarray(frame_idx, jnp.int32), mode="drop"
+        ),
     )
     return new, ids
 
 
-def update_rays(store: RayStore, ids: jax.Array, rays: jax.Array, mask: jax.Array) -> RayStore:
-    """Write refined ray estimates (EKF slots or BA output) back by id."""
+def update_rays(
+    store: RayStore,
+    ids: jax.Array,
+    rays: jax.Array,
+    mask: jax.Array,
+    frame_idx: jax.Array | int | None = None,
+) -> RayStore:
+    """Write refined ray estimates (EKF slots or BA output) back by id.
+
+    ``mask`` must only admit slots whose observation was actually confirmed
+    this frame (gate-passed) — writing gate-rejected slot estimates lets a
+    corrupted slot poison the map ray later used by reloc/BA.
+    """
     m = store.rays.shape[0]
     tgt = jnp.where(mask & (ids >= 0), ids, m)
-    return store._replace(rays=store.rays.at[tgt].set(rays, mode="drop"))
+    new_rays = store.rays.at[tgt].set(rays, mode="drop")
+    if frame_idx is None:
+        return store._replace(rays=new_rays)
+    seen = store.last_seen.at[tgt].set(
+        jnp.asarray(frame_idx, jnp.int32), mode="drop"
+    )
+    return store._replace(rays=new_rays, last_seen=seen)
+
+
+def cull_rays(
+    store: RayStore,
+    protected_ids: jax.Array,
+    frame_idx: jax.Array,
+    max_age: int,
+) -> RayStore:
+    """Retire dead map rays: never promoted to a keyframe (views == 0),
+    not currently tracked by the EKF, and unobserved for ``max_age`` frames.
+    Freed rows return to the free list (reference ``scene_map.py`` cull).
+
+    Args:
+      protected_ids: (N,) int32 ray ids currently held by EKF slots (-1 = none).
+    """
+    m = store.rays.shape[0]
+    in_ekf = jnp.zeros((m,), bool).at[
+        jnp.where(protected_ids >= 0, protected_ids, m)
+    ].set(True, mode="drop")
+    stale = (frame_idx - store.last_seen) > max_age
+    drop = store.valid & (store.views <= 0) & ~in_ekf & stale
+    return store._replace(
+        valid=store.valid & ~drop,
+        count=store.count - drop.sum().astype(jnp.int32),
+    )
+
+
+def merge_rays(
+    store: RayStore,
+    angle_tol: float,
+    desc_min: float,
+    protected_ids: jax.Array | None = None,
+) -> tuple[RayStore, jax.Array]:
+    """Merge duplicate landmarks: pairs of live rays within ``angle_tol``
+    (radians, Euclidean over (theta, phi)) whose descriptors agree
+    (cosine >= ``desc_min``) collapse into the lower-indexed ray.
+
+    Single canonical pass (no chains): ray j merges into the smallest-index
+    mergeable partner i < j only if i is itself a root; repeated calls (one
+    per keyframe insertion) converge. Returns (store, remap) where
+    remap: (M,) int32 maps old ids -> surviving ids; callers must remap
+    every ray-id table they hold (keyframes, EKF slots).
+
+    ``protected_ids`` (e.g. the EKF slots' current ray ids) marks rays that
+    may absorb others but are never merged away themselves — an EKF slot's
+    id must stay live mid-track.
+
+    All-pairs (M, M) work — MXU matmul for the descriptor Gram plus two
+    broadcast subtractions — so it belongs in a rare branch (keyframe
+    insertion), not the per-frame path.
+    """
+    m = store.rays.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    live2 = store.valid[:, None] & store.valid[None, :]
+    if protected_ids is not None:
+        prot = jnp.zeros((m,), bool).at[
+            jnp.where(protected_ids >= 0, protected_ids, m)
+        ].set(True, mode="drop")
+        live2 = live2 & ~prot[None, :]       # protected rays can't be children
+    d_ang2 = ((store.rays[:, None, :] - store.rays[None, :, :]) ** 2).sum(-1)
+    cos = jnp.matmul(
+        store.desc, store.desc.T, precision=jax.lax.Precision.HIGHEST
+    )
+    mergeable = (
+        live2
+        & (d_ang2 < angle_tol * angle_tol)
+        & (cos >= desc_min)
+        & (idx[:, None] < idx[None, :])      # partner strictly below
+    )
+    # smallest-index mergeable partner per ray (self if none)
+    partner = jnp.where(
+        mergeable.any(axis=0),
+        jnp.argmax(mergeable, axis=0).astype(jnp.int32),
+        idx,
+    )
+    is_root = partner == idx
+    target = jnp.where(is_root[partner], partner, idx)   # only merge into roots
+    merged = target != idx
+
+    views = jax.ops.segment_sum(
+        jnp.where(store.valid, store.views, 0), target, num_segments=m
+    )
+    seen = jnp.maximum(
+        store.last_seen,
+        jnp.zeros((m,), jnp.int32).at[target].max(
+            jnp.where(merged, store.last_seen, 0), mode="drop"
+        ),
+    )
+    new = store._replace(
+        valid=store.valid & ~merged,
+        views=jnp.where(store.valid & ~merged, views, 0),
+        count=store.count - (store.valid & merged).sum().astype(jnp.int32),
+        last_seen=seen,
+    )
+    return new, target
 
 
 def add_keyframe(
@@ -132,13 +267,41 @@ def add_keyframe(
     desc: jax.Array,
     ray_ids: jax.Array,
     feat_valid: jax.Array,
-) -> KeyframeStore:
-    """Append a keyframe at slot store.count (no-op if at capacity)."""
+    width: float | None = None,
+    height: float | None = None,
+) -> tuple[KeyframeStore, jax.Array]:
+    """Insert a keyframe; at capacity, evict the most REDUNDANT one.
+
+    Redundancy = a keyframe's max view-overlap with any other stored
+    keyframe: the one best covered by its neighbors loses least map
+    coverage when dropped. Slot 0 (the BA gauge anchor) is never evicted.
+    Requires ``width``/``height`` for the overlap geometry; without them the
+    store falls back to the old behavior (silently drop at capacity).
+
+    Returns (store, evicted_slot): evicted_slot is the replaced row index,
+    or -1 when a free row was used / the insert was dropped. Callers must
+    decrement the evicted keyframe's ray view counts (see
+    ``slam._insert_keyframe``).
+    """
     k = store.poses.shape[0]
-    slot = jnp.minimum(store.count, k - 1)
     at_cap = store.count >= k
-    tgt = jnp.where(at_cap, k, slot)
-    return KeyframeStore(
+    if width is None:
+        tgt = jnp.where(at_cap, k, jnp.minimum(store.count, k - 1))
+        evicted = jnp.asarray(-1, jnp.int32)
+    else:
+        ov = view_overlap(
+            store.poses[:, None, :], store.poses[None, :, :], width, height
+        )
+        both = store.valid[:, None] & store.valid[None, :]
+        off_diag = ~jnp.eye(k, dtype=bool)
+        redundancy = jnp.max(
+            jnp.where(both & off_diag, ov, -1.0), axis=1
+        )
+        redundancy = redundancy.at[0].set(-jnp.inf)       # keep the anchor
+        evict_slot = jnp.argmax(redundancy).astype(jnp.int32)
+        tgt = jnp.where(at_cap, evict_slot, jnp.minimum(store.count, k - 1))
+        evicted = jnp.where(at_cap, evict_slot, -1).astype(jnp.int32)
+    new = KeyframeStore(
         poses=store.poses.at[tgt].set(pose, mode="drop"),
         frame_idx=store.frame_idx.at[tgt].set(frame_idx, mode="drop"),
         valid=store.valid.at[tgt].set(True, mode="drop"),
@@ -148,6 +311,7 @@ def add_keyframe(
         feat_valid=store.feat_valid.at[tgt].set(feat_valid, mode="drop"),
         count=jnp.minimum(store.count + 1, k),
     )
+    return new, evicted
 
 
 def view_overlap(

@@ -167,18 +167,46 @@ def _bootstrap(state: SlamState, xy, desc, valid, *, cfg, intr) -> SlamState:
     return _insert_keyframe(state, xy, desc, valid, cfg=cfg, intr=intr)
 
 
-def _grow_map(state: SlamState, xy, desc, cand_mask, *, cfg, intr):
-    """Insert candidate keypoints as new EKF slots + global rays."""
+def _grow_map(state: SlamState, xy, desc, cand_mask, *, cfg, intr, dedupe=False):
+    """Insert candidate keypoints as new EKF slots + global rays.
+
+    With ``dedupe=True`` (reloc re-seeding), candidates whose back-projected
+    ray lands within ``cfg.merge_angle_tol`` of a live map ray with agreeing
+    descriptor REUSE that ray's id instead of allocating a duplicate —
+    repeated relocalizations must not bloat the bounded store with clones of
+    landmarks it already holds.
+    """
     from ptzjax.geometry import back_project_pixels
 
     new_rays = back_project_pixels(state.ekf.pose, xy, intr)
+    reuse_ids = jnp.full((xy.shape[0],), -1, jnp.int32)
+    if dedupe:
+        store = state.rays
+        d2 = ((new_rays[:, None, :] - store.rays[None, :, :]) ** 2).sum(-1)
+        cos = jnp.matmul(
+            desc, store.desc.T, precision=jax.lax.Precision.HIGHEST
+        )
+        near = (
+            store.valid[None, :]
+            & (d2 < cfg.merge_angle_tol**2)
+            & (cos >= cfg.merge_desc_min)
+        )
+        has = near.any(axis=1)
+        nearest = jnp.argmin(
+            jnp.where(near, d2, jnp.inf), axis=1
+        ).astype(jnp.int32)
+        reuse_ids = jnp.where(cand_mask & has, nearest, -1)
+        cand_mask = cand_mask & ~has
     # only allocate map rows for candidates that will claim a free EKF slot —
     # otherwise every frame's unmatched features leak permanent map rays and
     # exhaust the store within seconds of video
-    num_free = (~state.ekf.active).sum()
+    num_free = (~state.ekf.active).sum() - (reuse_ids >= 0).sum()
     cand_rank = jnp.cumsum(cand_mask.astype(jnp.int32)) - 1
     cand_sel = cand_mask & (cand_rank < num_free)
-    rays_store, ids = mapstore.add_rays(state.rays, new_rays, desc, cand_sel)
+    rays_store, ids = mapstore.add_rays(
+        state.rays, new_rays, desc, cand_sel, frame_idx=state.frame_idx
+    )
+    ids = jnp.where(reuse_ids >= 0, reuse_ids, ids)
     accept = ids >= 0
     ekf_state = ekflib.insert_rays(
         state.ekf, xy, accept, ids, intr, cfg
@@ -217,10 +245,44 @@ def _track_frame(
     ekf_state = ekflib.retire_lost(ekf_state, cfg)
     state = state._replace(ekf=ekf_state)
 
+    # refresh slot descriptors from gate-confirmed observations: appearance
+    # drifts under zoom (even with f-normalized sampling, the underlying
+    # texture resolves differently), so the slot tracks the CURRENT look of
+    # its landmark instead of the look at insertion time
+    q = desc.shape[0]
+    n = ekf_state.capacity
+    tgt = jnp.where(m.ok, m.idx, n)
+    cand_of_slot = jnp.full((n,), q, jnp.int32).at[tgt].set(
+        jnp.arange(q, dtype=jnp.int32), mode="drop"
+    )
+    refresh = stats.used_mask & (cand_of_slot < q)
+    slot_desc = jnp.where(
+        refresh[:, None],
+        desc[jnp.clip(cand_of_slot, 0, q - 1)],
+        state.slot_desc,
+    )
+    state = state._replace(slot_desc=slot_desc)
+
     # refresh global ray estimates from the filter (per-frame ray refinement)
+    # — ONLY for slots whose observation passed the gate this frame: writing
+    # gate-rejected slots would let a corrupted slot poison the map ray that
+    # reloc/BA later trust
     state = state._replace(
         rays=mapstore.update_rays(
-            state.rays, ekf_state.ray_ids, ekf_state.rays, ekf_state.active
+            state.rays,
+            ekf_state.ray_ids,
+            ekf_state.rays,
+            ekf_state.active & stats.used_mask,
+            frame_idx=state.frame_idx,
+        )
+    )
+
+    # cull dead rays EVERY frame (O(M) elementwise — cheap): revisit phases
+    # insert no keyframes, so a keyframe-time-only cull lets slot-churn rays
+    # leak ~1 row/frame until the store exhausts (r1 VERDICT item 4)
+    state = state._replace(
+        rays=mapstore.cull_rays(
+            state.rays, ekf_state.ray_ids, state.frame_idx, cfg.ray_cull_age
         )
     )
 
@@ -257,6 +319,12 @@ def _insert_keyframe(state: SlamState, xy, desc, valid, *, cfg, intr) -> SlamSta
     just updated on this frame, so linked slots project within a few sigma);
     an ungated descriptor match leaks rare high-cosine coincidences into the
     keyframe tables, whose huge residuals then dominate and derail BA.
+
+    Keyframe insertion is also where the map lifecycle runs (it is the rare
+    event on the frame path — SURVEY.md §3 scene_map.py add/merge/cull):
+    evict the most redundant keyframe at capacity (adjusting ray view
+    counts), cull dead rays, and merge duplicate rays (remapping every
+    ray-id table).
     """
     pred_pix = project_rays(state.ekf.pose, state.ekf.rays, intr)
     m = matchlib.match_gated(
@@ -265,13 +333,44 @@ def _insert_keyframe(state: SlamState, xy, desc, valid, *, cfg, intr) -> SlamSta
     )
     ray_ids = jnp.where(m.ok, state.ekf.ray_ids[m.idx], -1)
     feat_valid = valid & m.ok & (ray_ids >= 0)
-    kf = mapstore.add_keyframe(
-        state.kf, state.ekf.pose, state.frame_idx, xy, desc, ray_ids, feat_valid
+    kf, evicted = mapstore.add_keyframe(
+        state.kf, state.ekf.pose, state.frame_idx, xy, desc, ray_ids,
+        feat_valid, width=cfg.image_width, height=cfg.image_height,
     )
+    mcap = state.rays.views.shape[0]
+    # the evicted keyframe's observations no longer pin their rays
+    ev = jnp.clip(evicted, 0, state.kf.ray_ids.shape[0] - 1)
+    ev_ids = state.kf.ray_ids[ev]
+    ev_fv = state.kf.feat_valid[ev] & (evicted >= 0)
     views = state.rays.views.at[
-        jnp.where(feat_valid, ray_ids, state.rays.views.shape[0])
+        jnp.where(ev_fv, ev_ids, mcap)
+    ].add(-1, mode="drop")
+    views = views.at[
+        jnp.where(feat_valid, ray_ids, mcap)
     ].add(1, mode="drop")
-    return state._replace(kf=kf, rays=state.rays._replace(views=views))
+    rays = state.rays._replace(views=views)
+
+    # cull dead rays, then merge duplicates and remap every id table
+    rays = mapstore.cull_rays(
+        rays, state.ekf.ray_ids, state.frame_idx, cfg.ray_cull_age
+    )
+    rays, remap = mapstore.merge_rays(
+        rays, cfg.merge_angle_tol, cfg.merge_desc_min,
+        protected_ids=state.ekf.ray_ids,
+    )
+    kf_ids = jnp.where(
+        kf.ray_ids >= 0, remap[jnp.clip(kf.ray_ids, 0, mcap - 1)], -1
+    )
+    ekf_ids = jnp.where(
+        state.ekf.ray_ids >= 0,
+        remap[jnp.clip(state.ekf.ray_ids, 0, mcap - 1)],
+        -1,
+    )
+    return state._replace(
+        kf=kf._replace(ray_ids=kf_ids),
+        rays=rays,
+        ekf=state.ekf._replace(ray_ids=ekf_ids),
+    )
 
 
 def _relocalize(state: SlamState, xy, desc, valid, *, cfg, intr):
@@ -344,7 +443,11 @@ def _apply_external_reloc(
             lost=jnp.asarray(False),
             frame_idx=state.frame_idx + 1,
         )
-        st, _ = _grow_map(st, xy, desc, valid & inlier_mask, cfg=cfg, intr=intr)
+        # dedupe: repeated forest relocalizations must reuse the map rays
+        # they re-observe, not append clones until the store exhausts
+        st, _ = _grow_map(
+            st, xy, desc, valid & inlier_mask, cfg=cfg, intr=intr, dedupe=True
+        )
         return st
 
     def stay_lost(_):
@@ -458,7 +561,9 @@ def infos_to_dicts(infos: FrameInfo, frame0: int = 1) -> list[dict[str, Any]]:
 
 
 def _run_ba(state: SlamState, *, cfg, intr):
-    prob = mapstore.build_ba_problem(state.kf, state.rays, max_views_per_ray=8)
+    prob = mapstore.build_ba_problem(
+        state.kf, state.rays, max_views_per_ray=cfg.ba_max_views_per_ray
+    )
     res = balib.run(prob, intr, cfg)
     kf, rays = mapstore.apply_ba_result(
         state.kf, state.rays, res.cams, res.rays, prob.obs_w

