@@ -474,17 +474,54 @@ def lm_iteration(
     )
 
 
-def run(
+class LMState(NamedTuple):
+    """Checkpointable LM-loop carry (SURVEY.md §7: offline BA resumable per
+    LM iteration — serialize with ``checkpoint.save_pytree`` between
+    ``run_lm`` calls and a multi-host job restarts exactly where it was).
+    """
+
+    cams: jax.Array
+    rays: jax.Array
+    lam: jax.Array
+    cost: jax.Array
+    accepted: jax.Array
+    iterations: jax.Array
+
+
+def init_lm_state(
     prob: BAProblem, intr: Intrinsics, cfg: SLAMConfig, axis_name=None
-) -> BAResult:
-    """Full LM loop with accept/reject, fixed iteration count (static shape).
+) -> LMState:
+    pre = precompute(prob)
+    cost0 = fast_cost(prob.cams, prob.rays, prob, pre, intr)
+    if axis_name is not None:
+        cost0 = jax.lax.psum(cost0, axis_name)
+    return LMState(
+        cams=prob.cams,
+        rays=prob.rays,
+        lam=jnp.asarray(cfg.ba_lambda0, prob.cams.dtype),
+        cost=cost0,
+        accepted=jnp.asarray(0, jnp.int32),
+        iterations=jnp.asarray(0, jnp.int32),
+    )
+
+
+def run_lm(
+    prob: BAProblem,
+    intr: Intrinsics,
+    cfg: SLAMConfig,
+    lm: LMState,
+    num_iters: int | None = None,
+    axis_name=None,
+) -> LMState:
+    """Advance the LM loop ``num_iters`` damped steps from ``lm``.
 
     Rejected steps keep parameters and raise lambda; accepted steps lower it
     (SURVEY.md §8.4 LM schedule). Everything stays on device. Works unchanged
-    inside shard_map over ray shards when ``axis_name`` is given — costs are
-    psum-ed, the reduced camera solve is replicated, rays stay local.
+    inside shard_map over ray shards when ``axis_name`` is given (a name or
+    tuple of mesh axis names) — costs are psum-ed, the reduced camera solve
+    is replicated, rays stay local. Chaining run_lm(10) twice (with a
+    checkpoint roundtrip in between) is bitwise-identical to run_lm(20).
     """
-
     pre = precompute(prob)   # loop-invariant: XLA hoists it out of the scan
 
     def total_cost(cams, rays):
@@ -493,39 +530,48 @@ def run(
             c = jax.lax.psum(c, axis_name)
         return c
 
-    cost0 = total_cost(prob.cams, prob.rays)
-
-    def body(carry, _):
-        cams, rays, lam, cost, accepted = carry
+    def body(carry: LMState, _):
         cand_cams, cand_rays = _lm_iteration_fast(
-            cams, rays, lam, prob, pre, intr, cfg, axis_name=axis_name
+            carry.cams, carry.rays, carry.lam, prob, pre, intr, cfg,
+            axis_name=axis_name,
         )
         cand_cost = total_cost(cand_cams, cand_rays)
-        ok = cand_cost < cost
-        cams = jnp.where(ok, cand_cams, cams)
-        rays = jnp.where(ok, cand_rays, rays)
-        cost = jnp.where(ok, cand_cost, cost)
-        lam = jnp.where(
-            ok, lam * cfg.ba_lambda_down, lam * cfg.ba_lambda_up
+        ok = cand_cost < carry.cost
+        new = LMState(
+            cams=jnp.where(ok, cand_cams, carry.cams),
+            rays=jnp.where(ok, cand_rays, carry.rays),
+            lam=jnp.clip(
+                jnp.where(
+                    ok,
+                    carry.lam * cfg.ba_lambda_down,
+                    carry.lam * cfg.ba_lambda_up,
+                ),
+                1e-10,
+                1e6,
+            ),
+            cost=jnp.where(ok, cand_cost, carry.cost),
+            accepted=carry.accepted + ok.astype(jnp.int32),
+            iterations=carry.iterations + 1,
         )
-        lam = jnp.clip(lam, 1e-10, 1e6)
-        return (cams, rays, lam, cost, accepted + ok.astype(jnp.int32)), cost
+        return new, new.cost
 
-    init = (
-        prob.cams,
-        prob.rays,
-        jnp.asarray(cfg.ba_lambda0, prob.cams.dtype),
-        cost0,
-        jnp.asarray(0, jnp.int32),
-    )
-    (cams, rays, _, cost, accepted), _ = jax.lax.scan(
-        body, init, None, length=cfg.ba_iters
-    )
+    n = cfg.ba_iters if num_iters is None else num_iters
+    lm, _ = jax.lax.scan(body, lm, None, length=n)
+    return lm
+
+
+def run(
+    prob: BAProblem, intr: Intrinsics, cfg: SLAMConfig, axis_name=None
+) -> BAResult:
+    """Full LM loop with accept/reject, fixed iteration count (static shape).
+    Convenience wrapper over init_lm_state + run_lm."""
+    lm0 = init_lm_state(prob, intr, cfg, axis_name=axis_name)
+    lm = run_lm(prob, intr, cfg, lm0, axis_name=axis_name)
     return BAResult(
-        cams=cams,
-        rays=rays,
-        cost=cost,
-        initial_cost=cost0,
-        iterations=jnp.asarray(cfg.ba_iters, jnp.int32),
-        accepted=accepted,
+        cams=lm.cams,
+        rays=lm.rays,
+        cost=lm.cost,
+        initial_cost=lm0.cost,
+        iterations=lm.iterations,
+        accepted=lm.accepted,
     )

@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ptzjax import match as matchlib
 from ptzjax.config import SLAMConfig
@@ -60,11 +61,14 @@ def _predict(cam: jax.Array, cov: jax.Array, cfg: SLAMConfig):
     cam = cam.at[0:3].add(cfg.dt * cam[3:6])
     cov = cov.at[0:3, :].add(cfg.dt * cov[3:6, :])
     cov = cov.at[:, 0:3].add(cfg.dt * cov[:, 3:6])
-    accel = jnp.array(
-        [cfg.sigma_pan**2, cfg.sigma_tilt**2, cfg.sigma_focal**2], jnp.float32
+    # np (not jnp) constant: built from concrete cfg floats, so keep it a
+    # host literal folded into HLO — a traced-in device-array constant
+    # stalls every dispatch on this backend (see ba.lm_iteration)
+    accel = np.array(
+        [cfg.sigma_pan**2, cfg.sigma_tilt**2, cfg.sigma_focal**2], np.float32
     )
-    q = jnp.concatenate([accel * cfg.dt**2, accel])
-    return cam, cov + jnp.diag(q)
+    q = np.diag(np.concatenate([accel * cfg.dt**2, accel]))
+    return cam, cov + q
 
 
 def _frame(

@@ -76,6 +76,14 @@ class SLAMConfig:
     # --- bundle adjustment (SURVEY.md §8.4) ---
     ba_max_views_per_ray: int = 8     # C: observation-table columns per ray
     ba_iters: int = 20
+
+    # --- online (keyframe-time) windowed BA (SURVEY.md §4.2 -> §4.3) ---
+    # runs IN-GRAPH on keyframe insertion over the newest window keyframes;
+    # the refined newest pose re-seeds the EKF camera (mid-sequence drift
+    # correction — the paper's headline mechanism). 0 iters disables.
+    online_ba_iters: int = 8
+    online_ba_window: int = 8
+    online_ba_views: int = 4          # observation columns per ray in-window
     ba_lambda0: float = 1e-3
     ba_lambda_up: float = 4.0
     ba_lambda_down: float = 0.5

@@ -44,6 +44,25 @@ except ImportError:  # pragma: no cover
 
 
 AXIS = "obs"
+HOST_AXIS = "host"
+CHIP_AXIS = "chip"
+
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host entry point (SURVEY.md §5): call ONCE per process before
+    any mesh construction; afterwards ``jax.devices()`` spans all hosts and
+    ``make_mesh``/``make_mesh_2d`` lay the global device set out unchanged.
+    Arguments default to the cluster-provided environment (TPU pods
+    auto-discover; GPU/CPU clusters pass them explicitly)."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
@@ -53,6 +72,35 @@ def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
         if num_devices is not None:
             devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (AXIS,))
+
+
+def make_mesh_2d(
+    num_hosts: int | None = None,
+    chips_per_host: int | None = None,
+    devices=None,
+) -> Mesh:
+    """2-axis ("host", "chip") mesh: the outer axis crosses DCN, the inner
+    axis rides ICI (SURVEY.md §5). jax.devices() orders devices host-major,
+    so the natural reshape puts each row of the mesh on one host — the BA
+    psum then reduces hierarchically (ICI within a host first, one small
+    (3K,3K)+K*3-float message across DCN).
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    if num_hosts is None:
+        num_hosts = max(1, jax.process_count())
+    if chips_per_host is None:
+        chips_per_host = len(devices) // num_hosts
+    devices = devices[: num_hosts * chips_per_host]
+    arr = np.asarray(devices).reshape(num_hosts, chips_per_host)
+    return Mesh(arr, (HOST_AXIS, CHIP_AXIS))
+
+
+def _ray_axes(mesh: Mesh) -> tuple[str, ...]:
+    """The mesh axes the ray dimension shards over (all of them: a 2-axis
+    mesh flattens host x chip onto the single long axis of this workload)."""
+    return tuple(mesh.axis_names)
 
 
 def pad_problem_for_mesh(prob: BAProblem, num_shards: int) -> BAProblem:
@@ -70,8 +118,10 @@ def pad_problem_for_mesh(prob: BAProblem, num_shards: int) -> BAProblem:
 
 
 def shard_problem(prob: BAProblem, mesh: Mesh) -> BAProblem:
-    """Place the ray-major arrays sharded over the mesh, cams replicated."""
-    ray_sharded = NamedSharding(mesh, P(AXIS))
+    """Place the ray-major arrays sharded over the mesh (over ALL its axes
+    — host x chip flattens onto the ray dimension), cams replicated."""
+    axes = _ray_axes(mesh)
+    ray_sharded = NamedSharding(mesh, P(axes))
     replicated = NamedSharding(mesh, P())
     return BAProblem(
         cams=jax.device_put(prob.cams, replicated),
@@ -88,8 +138,11 @@ def run_sharded(
 ) -> BAResult:
     """Distributed LM/Schur BA over ray shards. Same math as ``ba.run`` —
     the single-device path is the num_shards=1 special case, and results are
-    shard-count invariant (tested)."""
+    shard-count invariant (tested). Accepts a 1-axis ("obs") or 2-axis
+    ("host", "chip") mesh: the psum reduces over every mesh axis, which XLA
+    lowers hierarchically (ICI within the host row, DCN across rows)."""
     num = mesh.devices.size
+    axes = _ray_axes(mesh)
     prob = pad_problem_for_mesh(prob, num)
     prob = shard_problem(prob, mesh)
 
@@ -97,22 +150,22 @@ def run_sharded(
         shard_map,
         mesh=mesh,
         in_specs=(
-            P(),        # cams
-            P(AXIS),    # rays
-            P(AXIS),    # obs_pix
-            P(AXIS),    # obs_cam
-            P(AXIS),    # obs_w
-            P(),        # cam_free
+            P(),         # cams
+            P(axes),     # rays
+            P(axes),     # obs_pix
+            P(axes),     # obs_cam
+            P(axes),     # obs_w
+            P(),         # cam_free
         ),
         out_specs=BAResult(
-            cams=P(), rays=P(AXIS), cost=P(), initial_cost=P(),
+            cams=P(), rays=P(axes), cost=P(), initial_cost=P(),
             iterations=P(), accepted=P(),
         ),
         check_vma=False,
     )
     def _run(cams, rays, obs_pix, obs_cam, obs_w, cam_free):
         local = BAProblem(cams, rays, obs_pix, obs_cam, obs_w, cam_free)
-        return balib.run(local, intr, cfg, axis_name=AXIS)
+        return balib.run(local, intr, cfg, axis_name=axes)
 
     return jax.jit(_run)(
         prob.cams, prob.rays, prob.obs_pix, prob.obs_cam, prob.obs_w,

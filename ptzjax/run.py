@@ -71,11 +71,20 @@ def _parse() -> argparse.Namespace:
     )
     p.add_argument(
         "--chunk", type=int, default=64,
-        help="frames per on-device lax.scan segment; per-frame info is "
-             "pulled once per chunk (device->host transfers degrade "
-             "dispatch latency on tunneled TPU backends)",
+        help="frames per on-device lax.scan segment (all paths run chunked "
+             "at ONE static shape, so compile time and device memory are "
+             "bounded regardless of --frames); interactive modes pull "
+             "per-frame info once per chunk, the default path only at the "
+             "end (device->host transfers degrade dispatch latency on "
+             "tunneled TPU backends)",
     )
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument(
+        "--resume", type=str, default=None,
+        help="resume from a state checkpoint (.npz written by "
+             "--checkpoint-every); continues at the frame after the "
+             "checkpoint's frame_idx",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
@@ -148,44 +157,70 @@ def main() -> None:
         gt = seq.cameras
         intr = Intrinsics.create(float(seq.intr.cx), float(seq.intr.cy))
     elif args.synthetic_images:
-        extract, track = _make_frontend(args, cfg)
         intr = Intrinsics.create(args.width / 2.0, args.height / 2.0)
         pano = synth.make_panorama(seed=args.seed)
         gt = synth.make_trajectory(args.frames, seed=args.seed)
-        feats = []
-        prev_img = None
-        for c in gt:
-            img = synth.render_image(pano, c, intr, args.width, args.height)
-            if args.klt and prev_img is not None:
-                feats.append(track(prev_img, img, feats[-1]))
-            else:
-                feats.append(extract(img))
-            prev_img = img
+        imgs_all = np.stack(
+            [synth.render_image(pano, c, intr, args.width, args.height) for c in gt]
+        )
+        masks_all = None
+        feats = _stage_image_features(args, cfg, imgs_all, masks_all)
     else:
         if not args.annotation or not args.images:
             raise SystemExit("dataset mode needs --annotation and --images")
-        extract, track = _make_frontend(args, cfg)
         seqm = iolib.SequenceManager(args.annotation, args.images)
         intr = seqm.ann.intr
         gt = seqm.ann.cameras[: args.frames]
-        feats = []
-        prev_img = None
-        for k in range(min(args.frames, seqm.length)):
-            img = seqm.get_image(k)
-            mask = seqm.get_mask(k, img.shape[0], img.shape[1])
-            if args.klt and prev_img is not None:
-                feats.append(track(prev_img, img, feats[-1], mask=mask))
-            else:
-                feats.append(extract(img, mask=mask))
-            prev_img = img
+        n = min(args.frames, seqm.length)
+        imgs_all = np.stack([seqm.get_image(k) for k in range(n)])
+        masks_all = np.stack(
+            [
+                seqm.get_mask(k, imgs_all.shape[1], imgs_all.shape[2])
+                for k in range(n)
+            ]
+        )
+        feats = _stage_image_features(args, cfg, imgs_all, masks_all)
 
     # --- run ------------------------------------------------------------------
     if args.tracker == "homography":
         _run_homography_baseline(args, cfg, intr, feats, gt)
         return
 
+    # fused from-pixels path (VERDICT r1 item 7): images stay on device and
+    # the frontend runs INSIDE the scanned program, so the descriptor scale
+    # uses the live focal estimate and no per-frame host dispatch happens
+    fused = feats is None
     slam = PTZSlam(cfg, intr)
-    state = slam.init(*feats[0], gt[0])
+    if fused:
+        from ptzjax.frontend import extract_features
+
+        use_pallas = jax.default_backend() == "tpu"
+        mask0 = None if masks_all is None else jnp.asarray(masks_all[0])
+        feats0 = extract_features(
+            jnp.asarray(imgs_all[0]), cfg, mask=mask0, use_pallas=use_pallas,
+            focal=jnp.asarray(gt[0][2]),
+        )
+        state = slam.init(*feats0, gt[0])
+        total = len(imgs_all)
+        klt_carry = [imgs_all[0], feats0[0], feats0[2]]  # img, xy, valid
+    else:
+        state = slam.init(*feats[0], gt[0])
+        total = len(feats)
+
+    start_k = 1
+    if args.resume:
+        state = ckpt.load_pytree(args.resume, like=state)
+        start_k = int(np.asarray(state.frame_idx)) + 1
+        print(f"resumed from {args.resume} at frame {start_k}")
+        if fused and args.klt and start_k > 1:
+            from ptzjax.frontend import extract_features
+
+            f_prev = extract_features(
+                jnp.asarray(imgs_all[start_k - 1]), cfg,
+                use_pallas=use_pallas,
+                focal=jnp.asarray(np.asarray(state.ekf.cam)[2]),
+            )
+            klt_carry = [imgs_all[start_k - 1], f_prev[0], f_prev[2]]
 
     forest = None
     trained_kf = 0
@@ -211,108 +246,141 @@ def main() -> None:
         forest = RelocForest()
         _train_forest_on_new_keyframes(state)
 
-    # stacked feature tables: chunks run as single on-device lax.scans and
-    # per-frame info is pulled ONCE per chunk (a d2h transfer per frame
-    # permanently degrades dispatch latency on tunneled TPU backends)
-    xy_all = np.stack([np.asarray(f[0]) for f in feats])
-    desc_all = np.stack([np.asarray(f[1]) for f in feats])
-    valid_all = np.stack([np.asarray(f[2]) for f in feats])
-
     chunk = max(1, args.chunk)
 
-    def padded_chunk(k, end):
-        """Pad [k, end) to the SAME static length: each distinct chunk shape
-        costs a full host-side retrace; padding frames are masked no-ops."""
+    if not fused:
+        # stacked feature tables: chunks run as single on-device lax.scans
+        # and per-frame info is pulled at most ONCE per chunk (a d2h
+        # transfer per frame permanently degrades dispatch latency on
+        # tunneled TPU backends)
+        xy_all = np.stack([np.asarray(f[0]) for f in feats])
+        desc_all = np.stack([np.asarray(f[1]) for f in feats])
+        valid_all = np.stack([np.asarray(f[2]) for f in feats])
+
+    def _pad(arr, end, pad):
+        return np.concatenate([arr, np.repeat(arr[-1:], pad, 0)]) if pad else arr
+
+    def run_chunk(state, k, end):
+        """Run frames [k, end) as one scan, padded to the SAME static
+        length (each distinct chunk shape costs a full host-side retrace);
+        padding frames are masked no-ops. Returns (state, infos)."""
         n = end - k
         pad = chunk - n
-        sl = slice(k, end)
-        xy_c = np.concatenate([xy_all[sl], np.repeat(xy_all[end - 1 : end], pad, 0)])
-        desc_c = np.concatenate([desc_all[sl], np.repeat(desc_all[end - 1 : end], pad, 0)])
+        ok = np.arange(chunk) < n
+        if fused:
+            imgs_c = _pad(imgs_all[k:end], end, pad)
+            if args.klt:
+                state, infos, xy_t, valid_t = slam.run_segment_pixels_klt(
+                    state, imgs_c, klt_carry[0], klt_carry[1], klt_carry[2],
+                    frame_ok=ok,
+                )
+                klt_carry[0] = imgs_all[end - 1]
+                klt_carry[1], klt_carry[2] = xy_t, valid_t
+                return state, infos
+            masks_c = (
+                None if masks_all is None else _pad(masks_all[k:end], end, pad)
+            )
+            return slam.run_segment_pixels(state, imgs_c, masks_c, ok)
+        xy_c = _pad(xy_all[k:end], end, pad)
+        desc_c = _pad(desc_all[k:end], end, pad)
         valid_c = np.concatenate(
-            [valid_all[sl], np.zeros((pad,) + valid_all.shape[1:], bool)]
+            [valid_all[k:end], np.zeros((pad,) + valid_all.shape[1:], bool)]
         )
-        return xy_c, desc_c, valid_c, np.arange(chunk) < n
+        return slam.run_segment(state, xy_c, desc_c, valid_c, ok)
+
+    def host_features(k):
+        """Features for one frame on the host (forest reloc needs them)."""
+        if not fused:
+            return feats[k]
+        from ptzjax.frontend import extract_features
+
+        mask = None if masks_all is None else jnp.asarray(masks_all[k])
+        return extract_features(
+            jnp.asarray(imgs_all[k]), cfg, mask=mask, use_pallas=use_pallas,
+            focal=state.ekf.pose[2],
+        )
+
+    # warm up trace+compile with an all-masked (pure no-op) chunk so the
+    # reported fps is the loop, not the one-time jit cost
+    state_w, _ = run_chunk(state, start_k, start_k + min(chunk, total - start_k))
+    if fused and args.klt:
+        klt_carry[0] = imgs_all[0]  # undo the warmup's carry advance
+        klt_carry[1], klt_carry[2] = feats0[0], feats0[2]
+    jax.block_until_ready(state_w)
+    del state_w
 
     records = []
     interactive = forest is not None or args.checkpoint_every
-    if not interactive:
-        # single on-device lax.scan over the whole sequence with ZERO
-        # device->host transfers inside the clock (the first d2h of a
-        # process costs ~60 s and permanently degrades later dispatches
-        # ~300x on this PJRT tunnel); per-frame info is pulled once at the
-        # end. Warm up trace+compile with an all-masked (no-op) pass first
-        # so the reported fps is the loop, not the one-time jit cost.
-        t = len(feats) - 1
-        # features on device before the clock (the frontend produces them
-        # on device in the from-pixels pipeline; here they come from host
-        # oracles/stacks)
-        xy_d = jnp.asarray(xy_all[1:])
-        desc_d = jnp.asarray(desc_all[1:])
-        valid_d = jnp.asarray(valid_all[1:])
-        state_w, _ = slam.run_segment(
-            state, xy_d, desc_d, valid_d, np.zeros((t,), bool)
-        )
-        jax.block_until_ready(state_w)
-        t0 = time.perf_counter()
-        state, infos = slam.run_segment(state, xy_d, desc_d, valid_d)
-        jax.block_until_ready(state)
-        wall = time.perf_counter() - t0
-        records = infos_to_dicts(infos, frame0=1)
-    else:
-        # warm up trace+compile with an all-masked (pure no-op) chunk
-        xy_w, desc_w, valid_w, _ = padded_chunk(0, min(chunk, len(feats)))
-        state_w, _ = slam.run_segment(
-            state, xy_w, desc_w, valid_w, np.zeros((chunk,), bool)
-        )
-        jax.block_until_ready(state_w)
-        # interactive loop (native-forest reloc and/or periodic checkpoints
-        # need host decisions): pay the tunnel handshake before the clock
-        float(state_w.frame_idx)  # one tiny d2h: absorbs the ~60 s first-transfer cost
-        lost_host = False
-        t0 = time.perf_counter()
-        k = 1
-        while k < len(feats):
-            if forest is not None and lost_host:
-                # forest path: the host resolves frames the in-graph reloc
-                # could not recover through the native regressor (SURVEY.md
-                # §4.4 path B), one frame at a time until tracking resumes
-                xy, desc, valid = feats[k]
-                res = relocalize_rf(forest, desc, xy, valid, intr, cfg)
-                state = slam.apply_reloc_result(state, xy, desc, valid, res)
-                lost_host = not bool(res.success)
-                records.append({
-                    "frame": k, "event": "reloc", "lost": lost_host,
-                    "reloc_success": bool(res.success),
-                    "reloc_inliers": int(res.inliers),
-                    "pose": np.asarray(jax.device_get(state.ekf.pose)),
-                    "num_matches": int(res.inliers), "num_used": int(res.inliers),
-                    "innovation_rms": 0.0, "keyframe": False,
-                    "active_slots": int(jax.device_get(state.ekf.active.sum())),
-                    "max_kf_overlap": 1.0,
-                })
-                k += 1
-                continue
-            end = min(k + chunk, len(feats))
-            if args.checkpoint_every:
-                # stop chunks exactly on checkpoint frames
-                next_ckpt = (
-                    (k - 1) // args.checkpoint_every + 1
-                ) * args.checkpoint_every
-                end = min(end, next_ckpt + 1)
-            state, infos = slam.run_segment(state, *padded_chunk(k, end))
-            recs = infos_to_dicts(infos, frame0=k)[: end - k]
-            records.extend(recs)
-            if forest is not None:
-                if any(r["keyframe"] for r in recs):
-                    _train_forest_on_new_keyframes(state)
-                lost_host = recs[-1]["lost"]
-            if args.checkpoint_every and (end - 1) % args.checkpoint_every == 0:
-                ckpt.save_pytree(
-                    os.path.join(args.out, f"state_{end - 1:06d}.npz"), state
-                )
+    pending = []  # (k, end, infos) for the non-interactive path
+    if interactive:
+        # pay the tunnel handshake before the clock (the first d2h of a
+        # process costs ~60 s and permanently degrades later dispatches)
+        float(state.frame_idx)
+    lost_host = False
+    t0 = time.perf_counter()
+    k = start_k
+    while k < total:
+        if forest is not None and lost_host:
+            # forest path: the host resolves frames the in-graph reloc
+            # could not recover through the native regressor (SURVEY.md
+            # §4.4 path B), one frame at a time until tracking resumes
+            xy, desc, valid = host_features(k)
+            res = relocalize_rf(forest, desc, xy, valid, intr, cfg)
+            state = slam.apply_reloc_result(state, xy, desc, valid, res)
+            lost_host = not bool(res.success)
+            records.append({
+                "frame": k, "event": "reloc", "lost": lost_host,
+                "reloc_success": bool(res.success),
+                "reloc_inliers": int(res.inliers),
+                "pose": np.asarray(jax.device_get(state.ekf.pose)),
+                "num_matches": int(res.inliers), "num_used": int(res.inliers),
+                "innovation_rms": 0.0, "keyframe": False,
+                "active_slots": int(jax.device_get(state.ekf.active.sum())),
+                "max_kf_overlap": 1.0,
+            })
+            k += 1
+            continue
+        end = min(k + chunk, total)
+        if args.checkpoint_every:
+            # stop chunks exactly on checkpoint frames
+            next_ckpt = (
+                (k - 1) // args.checkpoint_every + 1
+            ) * args.checkpoint_every
+            end = min(end, next_ckpt + 1)
+        pre_state = state
+        pre_carry = list(klt_carry) if fused and args.klt else None
+        state, infos = run_chunk(pre_state, k, end)
+        if not interactive:
+            pending.append((k, end, infos))
             k = end
-        jax.block_until_ready(state)
-        wall = time.perf_counter() - t0
+            continue
+        recs = infos_to_dicts(infos, frame0=k)[: end - k]
+        if forest is not None:
+            first_lost = next(
+                (j for j, r in enumerate(recs) if r["lost"]), None
+            )
+            if first_lost is not None and k + first_lost + 1 < end:
+                # rewind to the first lost frame so the forest engages
+                # immediately instead of after up to chunk-1 wasted frames
+                end = k + first_lost + 1
+                if pre_carry is not None:
+                    klt_carry[:] = pre_carry
+                state, infos = run_chunk(pre_state, k, end)
+                recs = infos_to_dicts(infos, frame0=k)[: end - k]
+        records.extend(recs)
+        if forest is not None:
+            if any(r["keyframe"] for r in recs):
+                _train_forest_on_new_keyframes(state)
+            lost_host = recs[-1]["lost"]
+        if args.checkpoint_every and (end - 1) % args.checkpoint_every == 0:
+            ckpt.save_pytree(
+                os.path.join(args.out, f"state_{end - 1:06d}.npz"), state
+            )
+        k = end
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t0
+    for k0, end0, infos in pending:
+        records.extend(infos_to_dicts(infos, frame0=k0)[: end0 - k0])
 
     if args.ba:
         state, ba_info = slam.bundle_adjust(state)
@@ -321,15 +389,18 @@ def main() -> None:
     # --- artifacts --------------------------------------------------------------
     iolib.write_trajectory_jsonl(os.path.join(args.out, "frames.jsonl"), records)
     pose = np.stack([r["pose"] for r in records])
-    np.savez(os.path.join(args.out, "trajectory.npz"), pose=pose, gt=gt[1:])
+    fidx = np.array([r["frame"] for r in records])
+    gt_r = gt[fidx]
+    np.savez(os.path.join(args.out, "trajectory.npz"), pose=pose, gt=gt_r)
     summary = {
-        **evallib.trajectory_errors(pose, gt[1 : len(pose) + 1]).as_dict(),
+        **evallib.trajectory_errors(pose, gt_r).as_dict(),
         "reprojection_rmse_px": evallib.reprojection_rmse(
-            pose, gt[1 : len(pose) + 1], intr, args.width, args.height
+            pose, gt_r, intr, args.width, args.height
         ),
-        "fps": (len(feats) - 1) / wall,
+        "fps": (total - start_k) / wall,
         "frames_lost": sum(r["lost"] for r in records),
         "keyframes": sum(r["keyframe"] for r in records),
+        "frontend": "fused" if fused else ("cv2" if args.frontend == "cv2" else "staged"),
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
@@ -337,10 +408,29 @@ def main() -> None:
         from ptzjax.plots import plot_run
 
         plot_run(
-            pose, gt[1 : len(pose) + 1], os.path.join(args.out, "trajectory.png"),
+            pose, gt_r, os.path.join(args.out, "trajectory.png"),
             records=records, title=os.path.basename(args.out.rstrip("/")),
         )
     print(json.dumps(summary, indent=2))
+
+
+def _stage_image_features(args, cfg, imgs_all, masks_all):
+    """Pre-extract features frame-by-frame on the host for the paths that
+    need a staged table (cv2 frontend, homography tracker); returns None
+    when the fused on-device pipeline applies (tpu frontend + slam
+    tracker)."""
+    if args.frontend == "tpu" and args.tracker == "slam":
+        return None
+    extract, track = _make_frontend(args, cfg)
+    feats = []
+    for k in range(len(imgs_all)):
+        img = imgs_all[k]
+        mask = None if masks_all is None else masks_all[k]
+        if args.klt and k > 0:
+            feats.append(track(imgs_all[k - 1], img, feats[-1], mask=mask))
+        else:
+            feats.append(extract(img, mask=mask))
+    return feats
 
 
 def _make_frontend(args, cfg):

@@ -82,6 +82,7 @@ class PTZSlam:
         self._step = jax.jit(partial(_frame_step, cfg=cfg, intr=intr))
         self._segment = jax.jit(partial(_run_segment, cfg=cfg, intr=intr))
         self._ba = jax.jit(partial(_run_ba, cfg=cfg, intr=intr))
+        self._px_fns: dict = {}
 
     def init(self, xy, desc, valid, pose0) -> SlamState:
         """First-frame bootstrap from a known pose (SURVEY.md §4.1)."""
@@ -133,6 +134,61 @@ class PTZSlam:
             jnp.asarray(desc_seq),
             jnp.asarray(valid_seq),
             jnp.asarray(frame_ok),
+        )
+
+    def run_segment_pixels(
+        self, state: SlamState, imgs, masks=None, frame_ok=None,
+        use_pallas: bool | None = None,
+    ) -> tuple[SlamState, FrameInfo]:
+        """From-pixels chunk: frames (T, H, W) -> detect/describe -> SLAM
+        step, all inside ONE scanned device program (BASELINE config 4's
+        honest shape — the vision frontend is inside the clock)."""
+        imgs = jnp.asarray(imgs)
+        t = imgs.shape[0]
+        if frame_ok is None:
+            frame_ok = jnp.ones((t,), bool)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        key = ("px", masks is not None, use_pallas)
+        if key not in self._px_fns:
+            self._px_fns[key] = jax.jit(
+                partial(
+                    _run_segment_pixels, cfg=self.cfg, intr=self.intr,
+                    use_pallas=use_pallas,
+                ),
+                static_argnames=(),
+            )
+        if masks is None:
+            return self._px_fns[key](state, imgs, None, jnp.asarray(frame_ok))
+        return self._px_fns[key](
+            state, imgs, jnp.asarray(masks), jnp.asarray(frame_ok)
+        )
+
+    def run_segment_pixels_klt(
+        self, state: SlamState, imgs, prev_img, prev_xy, prev_valid,
+        frame_ok=None, use_pallas: bool | None = None,
+    ) -> tuple[SlamState, FrameInfo, jax.Array, jax.Array]:
+        """KLT-mode from-pixels chunk: LK flow carries the keypoint table
+        between frames inside the scan; pass the previous chunk's last
+        frame + table as the carry seed. Returns
+        (state, infos, last_xy, last_valid)."""
+        imgs = jnp.asarray(imgs)
+        t = imgs.shape[0]
+        if frame_ok is None:
+            frame_ok = jnp.ones((t,), bool)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        key = ("klt", use_pallas)
+        if key not in self._px_fns:
+            self._px_fns[key] = jax.jit(
+                partial(
+                    _run_segment_pixels_klt, cfg=self.cfg, intr=self.intr,
+                    use_pallas=use_pallas,
+                )
+            )
+        return self._px_fns[key](
+            state, imgs, jnp.asarray(frame_ok), jnp.asarray(prev_img),
+            jnp.asarray(prev_xy), jnp.asarray(prev_valid),
         )
 
     def bundle_adjust(self, state: SlamState) -> tuple[SlamState, dict[str, Any]]:
@@ -456,10 +512,80 @@ def _apply_external_reloc(
     return jax.lax.cond(success, recover, stay_lost, None)
 
 
+def _windowed_ba(state: SlamState, *, cfg, intr) -> SlamState:
+    """In-graph local BA over the newest ``online_ba_window`` keyframes
+    (SURVEY.md §4.2 "keyframe check ... optionally trigger §4.3 BA").
+
+    The just-inserted keyframe IS the current frame, so its refined pose
+    re-seeds the EKF camera — mid-sequence drift correction without waiting
+    for an offline pass. The oldest in-window keyframe is frozen as the
+    local gauge anchor; rays outside the window keep their estimates.
+    """
+    kf = state.kf
+    k = kf.poses.shape[0]
+    w = min(cfg.online_ba_window, k)
+    mcap = state.rays.rays.shape[0]
+
+    # newest w keyframes by frame index (the fresh insert ranks first)
+    order_key = jnp.where(kf.valid, kf.frame_idx, -1)
+    _, top_idx = jax.lax.top_k(order_key, w)
+    sel_valid = kf.valid[top_idx]
+    sub = mapstore.KeyframeStore(
+        poses=kf.poses[top_idx],
+        frame_idx=kf.frame_idx[top_idx],
+        valid=sel_valid,
+        xy=kf.xy[top_idx],
+        desc=kf.desc[top_idx],
+        ray_ids=kf.ray_ids[top_idx],
+        feat_valid=kf.feat_valid[top_idx] & sel_valid[:, None],
+        count=sel_valid.sum().astype(jnp.int32),
+    )
+    prob = mapstore.build_ba_problem(
+        sub, state.rays, max_views_per_ray=cfg.online_ba_views,
+        anchor_first=False,
+    )
+    # gauge: freeze the OLDEST VALID in-window keyframe (top_k sorts valid
+    # rows — key >= 0 — ahead of invalid ones, so that's row n_valid - 1;
+    # freezing a padding row would leave the gauge free and let the whole
+    # window slide)
+    n_valid = sel_valid.sum()
+    oldest = jnp.maximum(n_valid - 1, 0)
+    prob = prob._replace(cam_free=sel_valid.at[oldest].set(False))
+    res = balib.run(prob, intr, cfg.replace(ba_iters=cfg.online_ba_iters))
+
+    new_poses = kf.poses.at[
+        jnp.where(sel_valid, top_idx, k)
+    ].set(res.cams, mode="drop")
+    # only trust rays the window actually constrains (>= 2 views): a 1-view
+    # ray moves to explain that view's noise exactly, which would overwrite
+    # a converged estimate with raw observation noise
+    constrained = prob.obs_w.sum(axis=1) >= 2
+    new_rays = jnp.where(constrained[:, None], res.rays, state.rays.rays)
+
+    # drift correction, covariance-gated: the windowed BA sees far fewer
+    # observations than the filter has fused, so on a healthy track its
+    # pose is NOISIER than the EKF's — only re-seed when the BA pose
+    # disagrees beyond the filter's own 3-sigma (the signature of drift:
+    # an overconfident, biased filter). Healthy runs make this a no-op.
+    delta = res.cams[0] - state.ekf.pose
+    p_diag = jnp.diagonal(state.ekf.cov)[0:3]
+    drifted = jnp.any(delta * delta > 9.0 * p_diag)
+    cam = jnp.where(
+        drifted, state.ekf.cam.at[0:3].set(res.cams[0]), state.ekf.cam
+    )
+    ekf = state.ekf._replace(cam=cam)
+    return state._replace(
+        kf=kf._replace(poses=new_poses),
+        rays=state.rays._replace(rays=new_rays),
+        ekf=ekf,
+    )
+
+
 def _frame_step(state: SlamState, xy, desc, valid, *, cfg, intr):
     """The whole per-frame pipeline as one traced function: reloc-or-track
-    selected by lax.cond on the lost flag, keyframe insertion by lax.cond on
-    the overlap policy. Zero host decisions (SURVEY.md §10 hard parts)."""
+    selected by lax.cond on the lost flag, keyframe insertion (+ in-graph
+    windowed BA) by lax.cond on the overlap policy. Zero host decisions
+    (SURVEY.md §10 hard parts)."""
 
     def do_reloc(_):
         return _relocalize(state, xy, desc, valid, cfg=cfg, intr=intr)
@@ -467,41 +593,113 @@ def _frame_step(state: SlamState, xy, desc, valid, *, cfg, intr):
     def do_track(_):
         s2, info = _track_frame(state, xy, desc, valid, cfg=cfg, intr=intr)
         insert = (~info.lost) & (info.max_kf_overlap < cfg.keyframe_overlap)
-        s3 = jax.lax.cond(
-            insert,
-            lambda s: _insert_keyframe(s, xy, desc, valid, cfg=cfg, intr=intr),
-            lambda s: s,
-            s2,
-        )
+
+        def do_insert(s):
+            s = _insert_keyframe(s, xy, desc, valid, cfg=cfg, intr=intr)
+            if cfg.online_ba_iters > 0:
+                # local BA needs >= 2 keyframes for a meaningful system
+                s = jax.lax.cond(
+                    s.kf.count >= 2,
+                    lambda st: _windowed_ba(st, cfg=cfg, intr=intr),
+                    lambda st: st,
+                    s,
+                )
+            return s
+
+        s3 = jax.lax.cond(insert, do_insert, lambda s: s, s2)
         return s3, info._replace(keyframe=insert)
 
     return jax.lax.cond(state.lost, do_reloc, do_track, None)
 
 
+def _skip_info(s: SlamState) -> FrameInfo:
+    return FrameInfo(
+        pose=s.ekf.pose,
+        num_matches=jnp.asarray(0, jnp.int32),
+        num_used=jnp.asarray(0, jnp.int32),
+        innovation_rms=jnp.asarray(0.0, jnp.float32),
+        lost=s.lost,
+        num_active_slots=s.ekf.active.sum(),
+        max_kf_overlap=jnp.asarray(1.0, jnp.float32),
+        event=jnp.asarray(2, jnp.int32),  # 2 = padding no-op
+        keyframe=jnp.asarray(False),
+        reloc_success=jnp.asarray(False),
+    )
+
+
+def _run_segment_pixels(
+    state: SlamState, imgs, masks, frame_ok, *, cfg, intr, use_pallas
+):
+    """Raw frames -> features -> SLAM step, ONE scanned device program
+    (VERDICT r1 item 7: no per-frame host dispatch; the frontend runs
+    inside the loop, so the descriptor scale uses the LIVE focal estimate).
+    ``masks`` is (T, H, W) bool or None (static)."""
+    from ptzjax.frontend import extract_features
+
+    def body(s, frame):
+        if masks is None:
+            img, ok = frame
+            mask = None
+        else:
+            img, mask, ok = frame
+
+        def do(_):
+            xy, desc, valid = extract_features(
+                img, cfg, mask=mask, use_pallas=use_pallas,
+                focal=s.ekf.pose[2],
+            )
+            return _frame_step(s, xy, desc, valid, cfg=cfg, intr=intr)
+
+        return jax.lax.cond(ok, do, lambda _: (s, _skip_info(s)), None)
+
+    xs = (imgs, frame_ok) if masks is None else (imgs, masks, frame_ok)
+    return jax.lax.scan(body, state, xs)
+
+
+def _run_segment_pixels_klt(
+    state: SlamState, imgs, frame_ok, prev_img, prev_xy, prev_valid,
+    *, cfg, intr, use_pallas
+):
+    """KLT-mode fused loop: LK flow carries the keypoint table between
+    consecutive frames inside the scan (the previous frame rides the scan
+    carry); fresh detections refill freed rows (SURVEY.md §4.2)."""
+    from ptzjax.frontend import track_features
+
+    def body(carry, frame):
+        s, pimg, pxy, pvalid = carry
+        img, ok = frame
+
+        def do(_):
+            xy, desc, valid, _tracked = track_features(
+                pimg, img, pxy, pvalid, cfg, use_pallas=use_pallas,
+                focal=s.ekf.pose[2],
+            )
+            s2, info = _frame_step(s, xy, desc, valid, cfg=cfg, intr=intr)
+            return (s2, img, xy, valid), info
+
+        def skip(_):
+            return (s, pimg, pxy, pvalid), _skip_info(s)
+
+        return jax.lax.cond(ok, do, skip, None)
+
+    (s, _, xy_t, valid_t), infos = jax.lax.scan(
+        body, (state, prev_img, prev_xy, prev_valid), (imgs, frame_ok)
+    )
+    # final keypoint table rides out so chunked callers can seed the next
+    # chunk's carry (padding frames skip, so it belongs to the last REAL
+    # frame)
+    return s, infos, xy_t, valid_t
+
+
 def _run_segment(
     state: SlamState, xy_seq, desc_seq, valid_seq, frame_ok, *, cfg, intr
 ):
-    def skip(s):
-        info = FrameInfo(
-            pose=s.ekf.pose,
-            num_matches=jnp.asarray(0, jnp.int32),
-            num_used=jnp.asarray(0, jnp.int32),
-            innovation_rms=jnp.asarray(0.0, jnp.float32),
-            lost=s.lost,
-            num_active_slots=s.ekf.active.sum(),
-            max_kf_overlap=jnp.asarray(1.0, jnp.float32),
-            event=jnp.asarray(2, jnp.int32),  # 2 = padding no-op
-            keyframe=jnp.asarray(False),
-            reloc_success=jnp.asarray(False),
-        )
-        return s, info
-
     def body(s, frame):
         xy, desc, valid, ok = frame
         return jax.lax.cond(
             ok,
             lambda _: _frame_step(s, xy, desc, valid, cfg=cfg, intr=intr),
-            lambda _: skip(s),
+            lambda _: (s, _skip_info(s)),
             None,
         )
 

@@ -71,3 +71,45 @@ def test_padding_to_shard_multiple():
     res = dist.run_sharded(prob, intr, cfg, mesh)
     assert res.rays.shape[0] % 8 == 0
     assert float(res.cost) < float(res.initial_cost)
+
+
+def test_two_axis_host_chip_mesh(problem):
+    """("host", "chip") 2-axis mesh (SURVEY.md §5, DCN x ICI layout): the
+    psum reduces over both axes and must match the 1-axis result."""
+    prob, intr, _, _, _ = problem
+    cfg = SLAMConfig(ba_iters=15)
+    res1 = dist.run_sharded(prob, intr, cfg, dist.make_mesh(8))
+    mesh2 = dist.make_mesh_2d(num_hosts=2, chips_per_host=4,
+                              devices=jax.devices()[:8])
+    assert mesh2.axis_names == ("host", "chip")
+    res2 = dist.run_sharded(prob, intr, cfg, mesh2)
+    np.testing.assert_allclose(
+        np.asarray(res2.cams), np.asarray(res1.cams), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(float(res2.cost), float(res1.cost), rtol=1e-4)
+
+
+def test_lm_state_checkpoint_resume(problem, tmp_path):
+    """BA restartability per LM iteration (SURVEY.md §7): 20 straight
+    iterations == 10 + checkpoint roundtrip + 10, bitwise."""
+    from ptzjax import checkpoint as ckpt
+
+    prob, intr, _, _, _ = problem
+    cfg = SLAMConfig(ba_iters=20)
+    straight = ba.run(prob, intr, cfg)
+
+    lm = ba.init_lm_state(prob, intr, cfg)
+    lm = ba.run_lm(prob, intr, cfg, lm, num_iters=10)
+    path = str(tmp_path / "lm_state.npz")
+    ckpt.save_pytree(path, lm)
+    lm2 = ckpt.load_pytree(path, like=lm)
+    lm2 = ba.run_lm(prob, intr, cfg, lm2, num_iters=10)
+
+    np.testing.assert_array_equal(
+        np.asarray(lm2.cams), np.asarray(straight.cams)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lm2.rays), np.asarray(straight.rays)
+    )
+    assert int(lm2.iterations) == 20
+    np.testing.assert_allclose(float(lm2.cost), float(straight.cost), rtol=0)

@@ -165,3 +165,43 @@ class TestFromPixelsSLAM:
         assert pan_err.mean() < 2.5e-3, pan_err.mean()
         assert tilt_err.mean() < 2.5e-3, tilt_err.mean()
         assert f_err.mean() < 25.0, f_err.mean()
+
+
+class TestFusedFromPixels:
+    def test_fused_segment_matches_staged(self):
+        """run_segment_pixels (frames -> features -> step inside ONE scan)
+        must track the rendered sequence like the staged path does."""
+        frames = 30
+        imgs, cams, intr = _render(frames, seed=1)
+        cfg = _cfg()
+        slam = PTZSlam(cfg, intr)
+        f0 = extract_features(jnp.asarray(imgs[0]), cfg, use_pallas=False)
+        state = slam.init(*f0, cams[0])
+        state, infos = slam.run_segment_pixels(
+            state, jnp.asarray(imgs[1:]), use_pallas=False
+        )
+        lost = np.asarray(infos.lost)
+        assert not lost.any(), f"lost at {np.nonzero(lost)[0]}"
+        pose = np.asarray(infos.pose)
+        pan_err = np.abs(pose[:, 0] - cams[1:, 0])
+        assert pan_err.mean() < 2.5e-3, pan_err.mean()
+
+    def test_fused_klt_segment(self):
+        frames = 20
+        imgs, cams, intr = _render(frames, pan_amp=0.02, f_amp=8.0, seed=4)
+        cfg = _cfg()
+        slam = PTZSlam(cfg, intr)
+        xy, desc, valid = extract_features(
+            jnp.asarray(imgs[0]), cfg, use_pallas=False
+        )
+        state = slam.init(xy, desc, valid, cams[0])
+        state, infos, xy_t, valid_t = slam.run_segment_pixels_klt(
+            state, jnp.asarray(imgs[1:]), jnp.asarray(imgs[0]), xy, valid,
+            use_pallas=False,
+        )
+        assert xy_t.shape == xy.shape and valid_t.shape == valid.shape
+        lost = np.asarray(infos.lost)
+        assert not lost.any(), f"lost at {np.nonzero(lost)[0]}"
+        pose = np.asarray(infos.pose)
+        pan_err = np.abs(pose[:, 0] - cams[1:, 0])
+        assert pan_err.mean() < 2.5e-3, pan_err.mean()

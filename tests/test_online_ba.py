@@ -1,0 +1,149 @@
+"""Keyframe-time (online) windowed BA — SURVEY.md §4.2 "keyframe check ...
+optionally trigger §4.3 BA", VERDICT r1 item 5.
+
+Note on scope: the joint camera x ray EKF (MonoSLAM-consistent insertion,
+map-guarded updates) shows no measurable drift on unbiased synthetic
+benchmarks — tracking accuracy is identical with online BA on or off (the
+covariance gate makes re-seeding a no-op on a healthy filter; see
+test_no_regression). The mechanism is exercised directly: a drifted map
+memory must be pulled back toward consistency, and a biased, overconfident
+filter must be re-seeded."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ptzjax import synth
+from ptzjax.config import SLAMConfig
+from ptzjax.features import synth_features
+from ptzjax.slam import PTZSlam, _windowed_ba, infos_to_dicts
+
+
+def _tracked_state(online_iters=8, T=100, seed=5, return_feats=False):
+    cfg = SLAMConfig(
+        max_rays=64, max_keypoints=128, max_map_rays=1024, max_keyframes=16,
+        kf_desc_dim=32, sigma_obs=0.7, min_inliers=8,
+        online_ba_iters=online_iters, keyframe_overlap=0.75,
+    )
+    seq = synth.make_sequence(
+        num_frames=T, num_rays=2500, pan_amp=0.4, tilt_amp=0.03,
+        f_amp=300.0, period=T * 3.0, seed=seed,
+    )
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(2500, 32)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    seq = seq._replace(descriptors=d)
+    slam = PTZSlam(cfg, seq.intr)
+    feats = [
+        synth_features(seq, k, cfg.max_keypoints, noise_px=0.5,
+                       desc_noise=0.05)[0]
+        for k in range(T)
+    ]
+    state = slam.init(feats[0].xy, feats[0].desc, feats[0].valid,
+                      seq.cameras[0])
+    xy = np.stack([f.xy for f in feats])
+    ds = np.stack([f.desc for f in feats])
+    va = np.stack([f.valid for f in feats])
+    state, finfo = slam.run_segment(state, xy[1:], ds[1:], va[1:])
+    if return_feats:
+        return cfg, seq, slam, state, finfo, feats[-1]
+    return cfg, seq, slam, state, finfo
+
+
+def test_no_regression_on_healthy_tracking():
+    """Online BA must not degrade a healthy run (the covariance gate keeps
+    the noisier windowed estimate out of a well-conditioned filter)."""
+    _, seq, _, state_on, fi_on = _tracked_state(online_iters=8)
+    _, _, _, state_off, fi_off = _tracked_state(online_iters=0)
+    for fi in (fi_on, fi_off):
+        assert not np.asarray(fi.lost).any()
+    p_on = np.asarray(fi_on.pose)
+    p_off = np.asarray(fi_off.pose)
+    gt = seq.cameras[1:]
+    err_on = np.abs(p_on[:, 0] - gt[:, 0]).mean()
+    err_off = np.abs(p_off[:, 0] - gt[:, 0]).mean()
+    assert err_on < max(2.0 * err_off, 2e-4), (err_on, err_off)
+    # keyframes were actually inserted (the BA branch ran in-graph)
+    assert np.asarray(fi_on.keyframe).sum() >= 1
+
+
+def test_windowed_ba_pulls_drifted_map_back():
+    """Perturb the stored keyframe poses and map rays (drifted long-term
+    memory); the in-graph windowed BA must reduce both errors using only
+    the stored observation tables."""
+    cfg, seq, slam, state, _ = _tracked_state(online_iters=8)
+    nk = int(state.kf.count)
+    assert nk >= 3, f"need several keyframes, got {nk}"
+
+    rng = np.random.default_rng(0)
+    kidx = np.asarray(state.kf.frame_idx)[:nk]
+    gt_poses = seq.cameras[kidx]
+
+    pert = np.zeros_like(np.asarray(state.kf.poses))
+    # leave the oldest keyframe intact (it anchors the window gauge)
+    pert[1:nk] = rng.normal(size=(nk - 1, 3)) * np.array([2e-3, 1e-3, 20.0])
+    poses_bad = np.asarray(state.kf.poses) + pert
+    rays_bad = np.asarray(state.rays.rays) + rng.normal(
+        size=state.rays.rays.shape
+    ).astype(np.float32) * 1e-3 * np.asarray(state.rays.valid)[:, None]
+
+    bad = state._replace(
+        kf=state.kf._replace(poses=jnp.asarray(poses_bad, jnp.float32)),
+        rays=state.rays._replace(rays=jnp.asarray(rays_bad, jnp.float32)),
+    )
+    import jax
+
+    fixed = jax.jit(
+        lambda s: _windowed_ba(s, cfg=cfg, intr=seq.intr)
+    )(bad)
+
+    err_bad = np.abs(poses_bad[:nk] - gt_poses)
+    err_fix = np.abs(np.asarray(fixed.kf.poses)[:nk] - gt_poses)
+    # window covers the newest online_ba_window keyframes; those must improve
+    w = min(cfg.online_ba_window, nk)
+    order = np.argsort(kidx)[::-1][:w]
+    assert err_fix[order, 0].mean() < 0.5 * err_bad[order, 0].mean(), (
+        err_fix[order, 0].mean(), err_bad[order, 0].mean(),
+    )
+    assert err_fix[order, 2].mean() < 0.7 * err_bad[order, 2].mean()
+
+
+def test_reseed_gate_fires_on_biased_filter():
+    """A biased-but-overconfident filter (the drift signature) must be
+    re-seeded from the windowed BA pose; a healthy filter must not be.
+    Mirrors the in-graph flow: insert the CURRENT frame as a keyframe,
+    then run the windowed BA (so the newest keyframe is the live pose)."""
+    import jax
+
+    from ptzjax.slam import _insert_keyframe
+
+    cfg, seq, slam, state, _, last = _tracked_state(
+        online_iters=8, return_feats=True
+    )
+
+    def insert_and_ba(s):
+        s = _insert_keyframe(
+            s, jnp.asarray(last.xy), jnp.asarray(last.desc),
+            jnp.asarray(last.valid), cfg=cfg, intr=seq.intr,
+        )
+        return _windowed_ba(s, cfg=cfg, intr=seq.intr)
+
+    run_ba = jax.jit(insert_and_ba)
+
+    # healthy: pose unchanged by the gate (BA agrees within 3 sigma)
+    healthy = run_ba(state)
+    d_healthy = float(jnp.abs(healthy.ekf.pose[0] - state.ekf.pose[0]))
+    assert d_healthy == 0.0, "gate must keep the EKF pose on a healthy run"
+
+    # biased: shift pan by many sigma (cov untouched) -> BA reconciles the
+    # new keyframe's observations against the pre-bias map/keyframes and
+    # the gate re-seeds toward the pre-bias estimate
+    bias = 5e-3
+    biased = state._replace(
+        ekf=state.ekf._replace(cam=state.ekf.cam.at[0].add(bias))
+    )
+    fixed = run_ba(biased)
+    d_fix = float(jnp.abs(fixed.ekf.pose[0] - biased.ekf.pose[0]))
+    assert d_fix > 1e-3, "gate must re-seed a biased overconfident filter"
+    err_before = bias
+    err_after = abs(float(fixed.ekf.pose[0]) - float(state.ekf.pose[0]))
+    assert err_after < 0.5 * err_before, (err_after, err_before)

@@ -102,3 +102,64 @@ def test_cli_homography_baseline(tmp_path):
     summary = json.load(open(os.path.join(out, "summary.json")))
     assert summary["tracker"] == "homography"
     assert summary["pan_mae_deg"] < 0.1
+
+
+def test_cli_fused_images_run(tmp_path):
+    """--synthetic-images with the tpu frontend runs the FUSED on-device
+    pipeline (frames -> features -> step inside one scan per chunk)."""
+    out = str(tmp_path / "fused")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "ptzjax.run", "--synthetic-images",
+            "--frames", "12", "--out", out, "--platform", "cpu",
+            "--width", "480", "--height", "270", "--chunk", "8",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["frontend"] == "fused"
+    assert summary["frames_lost"] == 0
+    assert summary["pan_mae_deg"] < 0.2
+    lines = open(os.path.join(out, "frames.jsonl")).read().strip().splitlines()
+    assert len(lines) == 11
+
+
+def test_cli_resume_from_checkpoint(tmp_path):
+    """--resume continues a checkpointed run: the resumed half must pick up
+    at the right frame and stay accurate (VERDICT r1 item 6)."""
+    out1 = str(tmp_path / "part1")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "ptzjax.run", "--synthetic",
+            "--frames", "40", "--out", out1, "--platform", "cpu",
+            "--checkpoint-every", "20", "--seed", "3",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ck = os.path.join(out1, "state_000020.npz")
+    assert os.path.exists(ck)
+
+    out2 = str(tmp_path / "part2")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "ptzjax.run", "--synthetic",
+            "--frames", "40", "--out", out2, "--platform", "cpu",
+            "--seed", "3", "--resume", ck,
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [
+        json.loads(ln)
+        for ln in open(os.path.join(out2, "frames.jsonl")).read().splitlines()
+    ]
+    assert lines[0]["frame"] == 21          # resumed exactly after frame 20
+    assert lines[-1]["frame"] == 39
+    summary = json.load(open(os.path.join(out2, "summary.json")))
+    assert summary["frames_lost"] == 0
+    assert summary["pan_mae_deg"] < 0.1
