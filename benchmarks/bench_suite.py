@@ -89,8 +89,11 @@ def bench_online_slam() -> dict:
     ) / 1e3
     fps = (frames - 1) / best
     return {
-        "metric": "online_slam_fps_1chip", "value": round(fps, 1),
-        "unit": "frames/s", "vs_baseline": round(fps / 30.0, 2),
+        "metric": "online_slam_oracle_features_fps_1chip", "value": round(fps, 1),
+        "unit": "frames/s (ORACLE keypoint tables — vision frontend "
+                "EXCLUDED; the honest end-to-end number is "
+                "online_slam_from_pixels_fps_1chip)",
+        "vs_baseline": round(fps / 30.0, 2),
     }
 
 
@@ -482,19 +485,52 @@ def bench_tpu_parity() -> list[dict]:
     from ptzjax.kernels.flow import lk_track
     from ptzjax.kernels.match import match_pallas
 
+    from ptzjax.kernels.detect import detect_keypoints
+
     backend = jax.default_backend()
     rng = np.random.default_rng(3)
     results = []
 
-    # 1. harris+nms on a rendered frame
+    # 1. harris+nms on a rendered frame. Border semantics differ within
+    # 3 px of the edge by design (edge-padding order — detect_pallas.py
+    # module docstring), so compare the INTERIOR response exactly and the
+    # full product-surface keypoint tables bitwise (detect_keypoints
+    # discards an 8 px border).
     pano = synth.make_panorama(seed=3)
     intr = Intrinsics.create(640.0, 360.0)
     cam = np.array([0.05, -0.05, 2200.0], np.float32)
     img = jnp.asarray(synth.render_image(pano, cam, intr, 1280, 720))
-    ref = _nms3(harris_response(img))
-    pal = harris_nms_pallas(img)
-    h_err = float(jnp.abs(ref - pal).max() / (jnp.abs(ref).max() + 1e-12))
-    assert h_err < 1e-3, f"harris pallas mismatch on {backend}: {h_err}"
+    ref_resp = harris_response(img)
+    ref_sup = _nms3(ref_resp)
+    pal_resp, pal_sup = harris_nms_pallas(img)
+    b = 4  # kernel halo: gradient 1 + smooth 2 + nms 1
+    h_err = float(
+        jnp.abs(ref_resp[b:-b, b:-b] - pal_resp[b:-b, b:-b]).max()
+        / (jnp.abs(ref_resp).max() + 1e-12)
+    )
+    assert h_err < 1e-6, f"harris pallas interior mismatch on {backend}: {h_err}"
+    s_err = float(
+        jnp.abs(
+            jnp.clip(ref_sup[b:-b, b:-b], -1.0, None)
+            - jnp.clip(pal_sup[b:-b, b:-b], -1.0, None)
+        ).max()
+    )
+    assert s_err < 1e-6, f"nms pallas interior mismatch on {backend}: {s_err}"
+
+    kp_ref = detect_keypoints(img, max_keypoints=256, use_pallas=False)
+    kp_pal = detect_keypoints(img, max_keypoints=256, use_pallas=True)
+    kp_bitwise = (
+        np.array_equal(np.asarray(kp_ref.xy), np.asarray(kp_pal.xy))
+        and np.array_equal(np.asarray(kp_ref.valid), np.asarray(kp_pal.valid))
+    )
+    n_xy_eq = int(
+        (np.asarray(kp_ref.xy) == np.asarray(kp_pal.xy)).all(-1).sum()
+    )
+    assert kp_bitwise, (
+        f"detect_keypoints tables differ on {backend}: "
+        f"{n_xy_eq}/256 rows bitwise-equal, "
+        f"max xy diff {np.abs(np.asarray(kp_ref.xy) - np.asarray(kp_pal.xy)).max()}"
+    )
 
     # 2. matcher
     dq = rng.normal(size=(512, 128)).astype(np.float32)
@@ -541,7 +577,8 @@ def bench_tpu_parity() -> list[dict]:
     results.append({
         "metric": "tpu_kernel_parity", "value": 1.0,
         "unit": (
-            f"pass on backend={backend} (harris rel err {h_err:.1e}, "
+            f"pass on backend={backend} (harris interior rel err {h_err:.1e}, "
+            f"kp tables bitwise {n_xy_eq}/256, "
             f"match ok-agree {agree:.3f}, idx-agree {idx_agree:.4f}, "
             f"lk {ntr}/256 tracked)"
         ),
@@ -677,6 +714,7 @@ def main() -> None:
     import sys as _sys
 
     results = []
+    failed = []
     for g in wanted:
         r = subprocess.run(
             [_sys.executable, os.path.abspath(__file__), "--raw", "--only", g],
@@ -684,6 +722,7 @@ def main() -> None:
         )
         if r.returncode != 0:
             print(f"group {g} FAILED:\n{r.stderr[-2000:]}", file=sys.stderr)
+            failed.append(g)
             continue
         for line in r.stdout.splitlines():
             line = line.strip()
@@ -704,7 +743,13 @@ def main() -> None:
                 f"| {r['metric']} | {r['value']} | {r['unit']} | "
                 f"{r['vs_baseline']} |\n"
             )
+        if failed:
+            f.write(f"\n**FAILED groups: {', '.join(failed)}**\n")
     print(f"wrote {args.out}")
+    if failed:
+        # a failed group must fail the run, not vanish into stderr
+        # (VERDICT r2 weak #2)
+        raise SystemExit(f"benchmark groups failed: {', '.join(failed)}")
 
 
 if __name__ == "__main__":

@@ -274,6 +274,15 @@ class BAPrecomp(NamedTuple):
 
 
 def precompute(prob: BAProblem) -> BAPrecomp:
+    """Build the LM-loop invariants.
+
+    Memory note: ``e_flat`` is a dense (M*C, K) fp32 one-hot — O(M*C*K).
+    At the online/benchmark sizes (M<=8192, C<=8, K<=64) that is <=16 MB
+    and buys scatter-free MXU segment sums; for very large OFFLINE problems
+    (say M*C*K*4 bytes beyond a few GB) shard M over the mesh
+    (``dist.run_sharded`` divides M per device, shrinking e_flat
+    proportionally) before reaching for a segment-sum rewrite.
+    """
     k = prob.cams.shape[0]
     obs_cam_t = prob.obs_cam.T                                   # (C, M)
     return BAPrecomp(
@@ -575,3 +584,56 @@ def run(
         iterations=lm.iterations,
         accepted=lm.accepted,
     )
+
+
+def huber_factors(
+    cams, rays, prob: BAProblem, intr, huber_px: float
+) -> jax.Array:
+    """(M, C) Huber IRLS factors from the current residual norms: 1 inside
+    ``huber_px``, sqrt(huber/|r|) beyond — squaring into the quadratic cost
+    gives each outlier linear (not quadratic) influence."""
+    pre = precompute(prob)
+    *_, w, r0, r1 = _projection_comps(cams, rays, pre, intr)
+    rn = jnp.sqrt(r0 * r0 + r1 * r1) / jnp.maximum(w, 1e-9)  # unweighted |r|
+    wh = jnp.sqrt(jnp.minimum(1.0, huber_px / jnp.maximum(rn, 1e-9)))
+    return jnp.where(w > 0, wh, 0.0).T                       # (M, C)
+
+
+def run_robust(
+    prob: BAProblem,
+    intr,
+    cfg: SLAMConfig,
+    rounds: int | None = None,
+    axis_name=None,
+) -> BAResult:
+    """Huber-IRLS robust BA (SURVEY.md §6 item 2 "+noise, outliers,
+    dropouts"): alternate the quadratic LM solve with reweighting every
+    observation by the Huber factor of its current residual norm
+    (``cfg.ba_huber_px``), so gross outliers — teleported matches, aliased
+    keyframe associations — get LINEAR instead of quadratic influence and
+    stop dragging the minimum. rounds=0 degenerates to ``run``.
+
+    The FIRST weights are computed at the INITIAL parameters (the tracked
+    map is near the truth, so outliers already stand out there) — weighting
+    after an unrobust solve would let the outliers corrupt the linearization
+    point the weights are judged from. The returned ``initial_cost`` is the
+    first round's starting cost; ``cost`` is under the final robust weights
+    (not directly comparable — compare parameter error, not costs, across
+    robustness settings).
+    """
+    rounds = cfg.ba_irls_rounds if rounds is None else rounds
+    if rounds <= 0:
+        return run(prob, intr, cfg, axis_name=axis_name)
+    base_w = prob.obs_w
+    init_cost = None
+    for _ in range(rounds):
+        wh = huber_factors(
+            prob.cams, prob.rays, prob._replace(obs_w=base_w), intr,
+            cfg.ba_huber_px,
+        )
+        prob = prob._replace(obs_w=base_w * wh)
+        res = run(prob, intr, cfg, axis_name=axis_name)
+        if init_cost is None:
+            init_cost = res.initial_cost
+        prob = prob._replace(cams=res.cams, rays=res.rays)
+    return res._replace(initial_cost=init_cost)

@@ -27,8 +27,11 @@ class SLAMConfig:
     # focal is EKF state, so descriptors can keep a constant ANGULAR
     # footprint by sampling at scale = f / descriptor_f_ref instead of
     # building a scale pyramid (the reference gets this from SIFT octaves).
-    # 0 disables (fixed 1-px spacing).
-    descriptor_f_ref: float = 0.0
+    # -1 = AUTO (the default): the CLI/driver resolves it to the run's
+    # init-pose focal before tracing, so every product run is
+    # zoom-normalized with no config file. 0 disables (fixed 1-px
+    # spacing); > 0 pins an explicit reference focal.
+    descriptor_f_ref: float = -1.0
 
     # --- matching ---
     ratio_test: float = 0.8           # Lowe ratio (squared-distance form used)
@@ -76,6 +79,9 @@ class SLAMConfig:
     # --- bundle adjustment (SURVEY.md §8.4) ---
     ba_max_views_per_ray: int = 8     # C: observation-table columns per ray
     ba_iters: int = 20
+    ba_huber_px: float = 0.0          # > 0: Huber-IRLS robust BA with this
+                                      # kernel width (px); 0 = pure quadratic
+    ba_irls_rounds: int = 2           # reweight/re-solve rounds when robust
 
     # --- online (keyframe-time) windowed BA (SURVEY.md §4.2 -> §4.3) ---
     # runs IN-GRAPH on keyframe insertion over the newest window keyframes;

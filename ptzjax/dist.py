@@ -133,6 +133,92 @@ def shard_problem(prob: BAProblem, mesh: Mesh) -> BAProblem:
     )
 
 
+def extract_features_sharded(
+    imgs,
+    cfg: SLAMConfig,
+    mesh: Mesh,
+    masks=None,
+    focals=None,
+    use_pallas: bool = False,
+):
+    """Offline multi-device feature extraction: frames data-parallel over
+    the mesh (SURVEY.md §3 "Batched/sharded Pallas feature kernels ...
+    per-chip data parallel"). Each device runs the fused detect+describe
+    pipeline (``frontend.extract_features`` — Pallas detector on TPU) over
+    its shard of the (T, H, W) frame stack via ``lax.map``; there is no
+    cross-frame dependence, so the only communication is the initial
+    scatter. Results are shard-count invariant (tested on the virtual CPU
+    mesh) and feed ``run_sharded`` BA directly — the offline half of
+    SURVEY.md §3's execution modes.
+
+    Args:
+      imgs: (T, H, W) float frames.
+      masks: optional (T, H, W) bool detection masks.
+      focals: optional (T,) per-frame focal estimates (zoom-normalized
+        descriptors; e.g. annotation priors in offline mode).
+      use_pallas: fused TPU detector kernel (False on CPU meshes).
+
+    Returns:
+      (xy (T, K, 2), desc (T, K, D), valid (T, K)), sharded over frames.
+    """
+    from ptzjax.frontend import extract_features
+
+    imgs = jnp.asarray(imgs)
+    t = imgs.shape[0]
+    num = mesh.devices.size
+    axes = _ray_axes(mesh)
+    pad = (-t) % num
+    if pad:
+        imgs = jnp.concatenate([imgs, jnp.repeat(imgs[-1:], pad, 0)])
+        if masks is not None:
+            masks = jnp.concatenate(
+                [jnp.asarray(masks), jnp.repeat(jnp.asarray(masks)[-1:], pad, 0)]
+            )
+        if focals is not None:
+            focals = jnp.concatenate(
+                [jnp.asarray(focals), jnp.repeat(jnp.asarray(focals)[-1:], pad)]
+            )
+
+    def one(im, mask, focal):
+        return extract_features(
+            im, cfg, mask=mask, use_pallas=use_pallas, focal=focal
+        )
+
+    def local(ims, msks, fs):
+        if masks is None and focals is None:
+            return jax.lax.map(lambda im: one(im, None, None), ims)
+        if masks is None:
+            return jax.lax.map(lambda a: one(a[0], None, a[1]), (ims, fs))
+        if focals is None:
+            return jax.lax.map(lambda a: one(a[0], a[1], None), (ims, msks))
+        return jax.lax.map(lambda a: one(a[0], a[1], a[2]), (ims, msks, fs))
+
+    in_specs = (
+        P(axes),
+        P(axes) if masks is not None else P(),
+        P(axes) if focals is not None else P(),
+    )
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(axes), P(axes), P(axes)),
+        check_vma=False,
+    )
+    m_arg = (
+        jnp.asarray(masks)
+        if masks is not None
+        else jnp.zeros((), jnp.float32)
+    )
+    f_arg = (
+        jnp.asarray(focals, jnp.float32)
+        if focals is not None
+        else jnp.zeros((), jnp.float32)
+    )
+    xy, desc, valid = jax.jit(fn)(imgs, m_arg, f_arg)
+    return xy[:t], desc[:t], valid[:t]
+
+
 def run_sharded(
     prob: BAProblem, intr: Intrinsics, cfg: SLAMConfig, mesh: Mesh
 ) -> BAResult:

@@ -133,7 +133,7 @@ def _subpixel(resp: jax.Array, ys: jax.Array, xs: jax.Array):
     return jnp.clip(off_x, -0.5, 0.5), jnp.clip(off_y, -0.5, 0.5)
 
 
-@partial(jax.jit, static_argnames=("max_keypoints", "use_pallas"))
+@partial(jax.jit, static_argnames=("max_keypoints", "use_pallas", "exact_topk"))
 def detect_keypoints(
     img: jax.Array,
     max_keypoints: int,
@@ -141,6 +141,7 @@ def detect_keypoints(
     mask: jax.Array | None = None,
     border: int = 8,
     use_pallas: bool = False,
+    exact_topk: bool = False,
 ) -> KeypointTable:
     """Detect up to ``max_keypoints`` Harris corners.
 
@@ -152,6 +153,15 @@ def detect_keypoints(
         complement of the reference's player boxes).
       border: pixels to ignore at the image edge.
       use_pallas: fused TPU kernel for the response+NMS pass.
+      exact_topk: use exact ``lax.top_k`` for candidate selection. The
+        default uses the TPU-optimized ``lax.approx_max_k`` at
+        recall_target=0.99: on a 720p map the exact sort costs 1.20 ms —
+        90% of the whole detect stage and 60% of the full from-pixels frame
+        budget (profiled, benchmarks/profile_pixels.py) — vs 0.08 ms
+        approximate. The ~1% misses are tail-boundary keypoints whose
+        scores tie the cut anyway; the strongest corners are always kept,
+        and the pallas/jax paths stay bitwise-identical (both select from
+        the same suppressed map with the same op).
 
     Returns:
       KeypointTable sorted by descending score.
@@ -176,7 +186,12 @@ def detect_keypoints(
 
     floor = threshold * jnp.maximum(sup.max(), 1e-20)
     flat = sup.reshape(-1)
-    score, idx = jax.lax.top_k(flat, max_keypoints)
+    if exact_topk:
+        score, idx = jax.lax.top_k(flat, max_keypoints)
+    else:
+        score, idx = jax.lax.approx_max_k(
+            flat, max_keypoints, recall_target=0.99
+        )
     ys = idx // w
     xs = idx % w
     valid = score > floor

@@ -89,6 +89,32 @@ def _parse() -> argparse.Namespace:
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument(
+        "--desc-f-ref", type=float, default=None,
+        help="descriptor zoom-normalization reference focal: descriptors "
+             "sample at f/f_ref spacing so their angular footprint is "
+             "zoom-invariant. Default: AUTO (the init pose's focal); "
+             "0 disables; > 0 pins an explicit value",
+    )
+    p.add_argument(
+        "--f0", type=float, default=2500.0,
+        help="--synthetic-images: trajectory mean focal (px)",
+    )
+    p.add_argument(
+        "--f-amp", type=float, default=600.0,
+        help="--synthetic-images: trajectory focal sweep amplitude (px); "
+             "f0=2000 --f-amp 670 is a ~2x zoom sweep",
+    )
+    p.add_argument(
+        "--pan-amp", type=float, default=0.35,
+        help="--synthetic-images: trajectory pan amplitude (rad)",
+    )
+    p.add_argument(
+        "--period", type=float, default=240.0,
+        help="--synthetic-images: trajectory base period (frames); "
+             "period ~ frames/2 makes the focal sine sweep its full range "
+             "within the run",
+    )
+    p.add_argument(
         "--platform", type=str, default=None,
         help="force a jax platform (e.g. cpu); default is the environment's",
     )
@@ -159,11 +185,15 @@ def main() -> None:
     elif args.synthetic_images:
         intr = Intrinsics.create(args.width / 2.0, args.height / 2.0)
         pano = synth.make_panorama(seed=args.seed)
-        gt = synth.make_trajectory(args.frames, seed=args.seed)
+        gt = synth.make_trajectory(
+            args.frames, pan_amp=args.pan_amp, f0=args.f0, f_amp=args.f_amp,
+            period=args.period, seed=args.seed,
+        )
         imgs_all = np.stack(
             [synth.render_image(pano, c, intr, args.width, args.height) for c in gt]
         )
         masks_all = None
+        cfg = _resolve_f_ref(cfg, args, gt)
         feats = _stage_image_features(args, cfg, imgs_all, masks_all)
     else:
         if not args.annotation or not args.images:
@@ -179,6 +209,7 @@ def main() -> None:
                 for k in range(n)
             ]
         )
+        cfg = _resolve_f_ref(cfg, args, gt)
         feats = _stage_image_features(args, cfg, imgs_all, masks_all)
 
     # --- run ------------------------------------------------------------------
@@ -217,6 +248,10 @@ def main() -> None:
 
             f_prev = extract_features(
                 jnp.asarray(imgs_all[start_k - 1]), cfg,
+                mask=(
+                    None if masks_all is None
+                    else jnp.asarray(masks_all[start_k - 1])
+                ),
                 use_pallas=use_pallas,
                 focal=jnp.asarray(np.asarray(state.ekf.cam)[2]),
             )
@@ -260,26 +295,28 @@ def main() -> None:
     def _pad(arr, end, pad):
         return np.concatenate([arr, np.repeat(arr[-1:], pad, 0)]) if pad else arr
 
-    def run_chunk(state, k, end):
+    def run_chunk(state, k, end, warmup=False):
         """Run frames [k, end) as one scan, padded to the SAME static
         length (each distinct chunk shape costs a full host-side retrace);
-        padding frames are masked no-ops. Returns (state, infos)."""
+        padding frames are masked no-ops. ``warmup=True`` masks EVERY frame
+        (pure no-op chunk: same trace, zero state effect) for compile
+        warm-up. Returns (state, infos)."""
         n = end - k
         pad = chunk - n
-        ok = np.arange(chunk) < n
+        ok = np.zeros(chunk, bool) if warmup else np.arange(chunk) < n
         if fused:
             imgs_c = _pad(imgs_all[k:end], end, pad)
+            masks_c = (
+                None if masks_all is None else _pad(masks_all[k:end], end, pad)
+            )
             if args.klt:
                 state, infos, xy_t, valid_t = slam.run_segment_pixels_klt(
                     state, imgs_c, klt_carry[0], klt_carry[1], klt_carry[2],
-                    frame_ok=ok,
+                    frame_ok=ok, masks=masks_c,
                 )
                 klt_carry[0] = imgs_all[end - 1]
                 klt_carry[1], klt_carry[2] = xy_t, valid_t
                 return state, infos
-            masks_c = (
-                None if masks_all is None else _pad(masks_all[k:end], end, pad)
-            )
             return slam.run_segment_pixels(state, imgs_c, masks_c, ok)
         xy_c = _pad(xy_all[k:end], end, pad)
         desc_c = _pad(desc_all[k:end], end, pad)
@@ -300,12 +337,19 @@ def main() -> None:
             focal=state.ekf.pose[2],
         )
 
+    if start_k >= total:
+        raise SystemExit(
+            f"nothing to do: start frame {start_k} >= sequence length {total}"
+        )
+
     # warm up trace+compile with an all-masked (pure no-op) chunk so the
     # reported fps is the loop, not the one-time jit cost
-    state_w, _ = run_chunk(state, start_k, start_k + min(chunk, total - start_k))
-    if fused and args.klt:
-        klt_carry[0] = imgs_all[0]  # undo the warmup's carry advance
-        klt_carry[1], klt_carry[2] = feats0[0], feats0[2]
+    pre_warm = list(klt_carry) if fused and args.klt else None
+    state_w, _ = run_chunk(
+        state, start_k, min(start_k + chunk, total), warmup=True
+    )
+    if pre_warm is not None:
+        klt_carry[:] = pre_warm  # undo the warmup's carry advance
     jax.block_until_ready(state_w)
     del state_w
 
@@ -412,6 +456,17 @@ def main() -> None:
             records=records, title=os.path.basename(args.out.rstrip("/")),
         )
     print(json.dumps(summary, indent=2))
+
+
+def _resolve_f_ref(cfg, args, gt):
+    """Resolve descriptor zoom normalization for image modes (VERDICT r2
+    item 4: the default product behavior). --desc-f-ref overrides; the AUTO
+    sentinel (-1) anchors to the init pose's focal."""
+    if args.desc_f_ref is not None:
+        cfg = cfg.replace(descriptor_f_ref=float(args.desc_f_ref))
+    if cfg.descriptor_f_ref < 0:
+        cfg = cfg.replace(descriptor_f_ref=float(gt[0][2]))
+    return cfg
 
 
 def _stage_image_features(args, cfg, imgs_all, masks_all):

@@ -166,19 +166,20 @@ class PTZSlam:
 
     def run_segment_pixels_klt(
         self, state: SlamState, imgs, prev_img, prev_xy, prev_valid,
-        frame_ok=None, use_pallas: bool | None = None,
+        frame_ok=None, masks=None, use_pallas: bool | None = None,
     ) -> tuple[SlamState, FrameInfo, jax.Array, jax.Array]:
         """KLT-mode from-pixels chunk: LK flow carries the keypoint table
         between frames inside the scan; pass the previous chunk's last
-        frame + table as the carry seed. Returns
-        (state, infos, last_xy, last_valid)."""
+        frame + table as the carry seed. ``masks`` (T, H, W) bool restricts
+        the refill detections (player-box complement), same as the
+        re-detect path. Returns (state, infos, last_xy, last_valid)."""
         imgs = jnp.asarray(imgs)
         t = imgs.shape[0]
         if frame_ok is None:
             frame_ok = jnp.ones((t,), bool)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        key = ("klt", use_pallas)
+        key = ("klt", masks is not None, use_pallas)
         if key not in self._px_fns:
             self._px_fns[key] = jax.jit(
                 partial(
@@ -189,6 +190,7 @@ class PTZSlam:
         return self._px_fns[key](
             state, imgs, jnp.asarray(frame_ok), jnp.asarray(prev_img),
             jnp.asarray(prev_xy), jnp.asarray(prev_valid),
+            None if masks is None else jnp.asarray(masks),
         )
 
     def bundle_adjust(self, state: SlamState) -> tuple[SlamState, dict[str, Any]]:
@@ -251,7 +253,19 @@ def _grow_map(state: SlamState, xy, desc, cand_mask, *, cfg, intr, dedupe=False)
         nearest = jnp.argmin(
             jnp.where(near, d2, jnp.inf), axis=1
         ).astype(jnp.int32)
-        reuse_ids = jnp.where(cand_mask & has, nearest, -1)
+        # one candidate per reused ray: several candidates in this batch can
+        # share a nearest ray, and claiming it twice would leave two EKF
+        # slots writing (and pinning) the same map row — keep only the
+        # lowest-index claimant (scatter-min, then gather back)
+        q = xy.shape[0]
+        mcap = store.rays.shape[0]
+        winner = jnp.full((mcap,), q, jnp.int32).at[
+            jnp.where(cand_mask & has, nearest, mcap)
+        ].min(jnp.arange(q, dtype=jnp.int32), mode="drop")
+        is_first = winner[nearest] == jnp.arange(q, dtype=jnp.int32)
+        reuse_ids = jnp.where(cand_mask & has & is_first, nearest, -1)
+        # losers are still duplicates of an existing ray — drop them from
+        # fresh allocation too, don't clone the landmark
         cand_mask = cand_mask & ~has
     # only allocate map rows for candidates that will claim a free EKF slot —
     # otherwise every frame's unmatched features leak permanent map rays and
@@ -657,22 +671,28 @@ def _run_segment_pixels(
 
 
 def _run_segment_pixels_klt(
-    state: SlamState, imgs, frame_ok, prev_img, prev_xy, prev_valid,
+    state: SlamState, imgs, frame_ok, prev_img, prev_xy, prev_valid, masks,
     *, cfg, intr, use_pallas
 ):
     """KLT-mode fused loop: LK flow carries the keypoint table between
     consecutive frames inside the scan (the previous frame rides the scan
-    carry); fresh detections refill freed rows (SURVEY.md §4.2)."""
+    carry); fresh detections refill freed rows (SURVEY.md §4.2). ``masks``
+    (T, H, W) bool or None (static) gates the refill detections so they
+    respect the player boxes like the re-detect path does."""
     from ptzjax.frontend import track_features
 
     def body(carry, frame):
         s, pimg, pxy, pvalid = carry
-        img, ok = frame
+        if masks is None:
+            img, ok = frame
+            mask = None
+        else:
+            img, mask, ok = frame
 
         def do(_):
             xy, desc, valid, _tracked = track_features(
-                pimg, img, pxy, pvalid, cfg, use_pallas=use_pallas,
-                focal=s.ekf.pose[2],
+                pimg, img, pxy, pvalid, cfg, mask=mask,
+                use_pallas=use_pallas, focal=s.ekf.pose[2],
             )
             s2, info = _frame_step(s, xy, desc, valid, cfg=cfg, intr=intr)
             return (s2, img, xy, valid), info
@@ -682,8 +702,9 @@ def _run_segment_pixels_klt(
 
         return jax.lax.cond(ok, do, skip, None)
 
+    xs = (imgs, frame_ok) if masks is None else (imgs, masks, frame_ok)
     (s, _, xy_t, valid_t), infos = jax.lax.scan(
-        body, (state, prev_img, prev_xy, prev_valid), (imgs, frame_ok)
+        body, (state, prev_img, prev_xy, prev_valid), xs
     )
     # final keypoint table rides out so chunked callers can seed the next
     # chunk's carry (padding frames skip, so it belongs to the last REAL
@@ -762,7 +783,10 @@ def _run_ba(state: SlamState, *, cfg, intr):
     prob = mapstore.build_ba_problem(
         state.kf, state.rays, max_views_per_ray=cfg.ba_max_views_per_ray
     )
-    res = balib.run(prob, intr, cfg)
+    if cfg.ba_huber_px > 0:
+        res = balib.run_robust(prob, intr, cfg)
+    else:
+        res = balib.run(prob, intr, cfg)
     kf, rays = mapstore.apply_ba_result(
         state.kf, state.rays, res.cams, res.rays, prob.obs_w
     )

@@ -89,6 +89,97 @@ def test_two_axis_host_chip_mesh(problem):
     np.testing.assert_allclose(float(res2.cost), float(res1.cost), rtol=1e-4)
 
 
+@pytest.fixture(scope="module")
+def rendered_frames():
+    from ptzjax import synth
+    from ptzjax.geometry import Intrinsics
+
+    w, h = 320, 180
+    intr = Intrinsics.create(w / 2.0, h / 2.0)
+    pano = synth.make_panorama(
+        theta_range=(-0.6, 0.6), phi_range=(-0.3, 0.15),
+        texels_per_rad=1500.0, seed=4,
+    )
+    cams = synth.make_trajectory(
+        8, pan_amp=0.04, tilt0=-0.04, tilt_amp=0.01,
+        f0=900.0, f_amp=40.0, period=24.0, seed=4,
+    )
+    imgs = np.stack(
+        [synth.render_image(pano, c, intr, w, h) for c in cams]
+    ).astype(np.float32)
+    return imgs, cams, intr
+
+
+def test_sharded_frontend_invariance(rendered_frames):
+    """Frame-parallel feature extraction over the mesh (SURVEY.md §3
+    'sharded Pallas feature kernels'): identical tables at every shard
+    count, and identical to the per-frame frontend."""
+    from ptzjax.frontend import extract_features
+
+    imgs, cams, intr = rendered_frames
+    cfg = SLAMConfig(
+        image_width=320, image_height=180, max_keypoints=96,
+        descriptor_f_ref=900.0,
+    )
+    focals = cams[:, 2]
+    ref = [
+        extract_features(
+            jnp.asarray(imgs[k]), cfg, use_pallas=False,
+            focal=jnp.asarray(focals[k]),
+        )
+        for k in range(len(imgs))
+    ]
+    for n in (1, 2, 8):
+        xy, desc, valid = dist.extract_features_sharded(
+            imgs, cfg, dist.make_mesh(n), focals=focals
+        )
+        for k in range(len(imgs)):
+            np.testing.assert_array_equal(
+                np.asarray(xy[k]), np.asarray(ref[k][0])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(desc[k]), np.asarray(ref[k][1])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(valid[k]), np.asarray(ref[k][2])
+            )
+
+
+def test_offline_pipeline_sharded(rendered_frames):
+    """The offline execution mode end-to-end (SURVEY.md §3): sharded
+    frontend -> tracking scan -> SHARDED BA over the resulting map, with
+    the BA result invariant to the frontend's shard count."""
+    from ptzjax import mapstore
+    from ptzjax.slam import PTZSlam
+
+    imgs, cams, intr = rendered_frames
+    cfg = SLAMConfig(
+        image_width=320, image_height=180, max_keypoints=96,
+        max_rays=96, max_map_rays=1024, max_keyframes=16,
+        descriptor_f_ref=900.0, keyframe_overlap=0.98,
+        online_ba_iters=0, sigma_obs=1.0,
+    )
+    xy, desc, valid = dist.extract_features_sharded(
+        imgs, cfg, dist.make_mesh(8), focals=cams[:, 2]
+    )
+    slam = PTZSlam(cfg, intr)
+    state = slam.init(xy[0], desc[0], valid[0], cams[0])
+    state, infos = slam.run_segment(state, xy[1:], desc[1:], valid[1:])
+    assert not bool(np.asarray(infos.lost).any())
+    assert int(state.kf.count) >= 2
+
+    prob = mapstore.build_ba_problem(
+        state.kf, state.rays, max_views_per_ray=cfg.ba_max_views_per_ray
+    )
+    res = dist.run_sharded(prob, intr, SLAMConfig(ba_iters=10),
+                           dist.make_mesh(8))
+    assert float(res.cost) <= float(res.initial_cost)
+    ref = ba.run(prob, intr, SLAMConfig(ba_iters=10))
+    np.testing.assert_allclose(
+        float(res.cost), float(ref.cost), rtol=1e-4, atol=1e-6
+    )
+
+
 def test_lm_state_checkpoint_resume(problem, tmp_path):
     """BA restartability per LM iteration (SURVEY.md §7): 20 straight
     iterations == 10 + checkpoint roundtrip + 10, bitwise."""

@@ -1,0 +1,119 @@
+"""Outlier/dropout stress (VERDICT r2 item 8; SURVEY.md §6 item 2
+"+noise, outliers, dropouts"): the keyframe/BA path must stay healthy when
+a real fraction of observations are garbage — teleported matches in BA,
+and outlier keypoints feeding the full SLAM loop end-to-end."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ptzjax import ba, synth
+from ptzjax.config import SLAMConfig
+from ptzjax.features import synth_features
+from ptzjax.slam import PTZSlam, infos_to_dicts
+from tests.test_ba import build_problem
+
+
+def _inject_outliers(prob, frac, seed=0, width=1280.0, height=720.0):
+    """Teleport a fraction of the VALID observations uniformly in the image
+    (synth.render_frame's outlier model, applied at the BA table level)."""
+    rng = np.random.default_rng(seed)
+    w = np.asarray(prob.obs_w)
+    pix = np.asarray(prob.obs_pix).copy()
+    valid = w > 0
+    hit = valid & (rng.uniform(size=w.shape) < frac)
+    n = int(hit.sum())
+    pix[hit] = np.stack(
+        [rng.uniform(0, width, n), rng.uniform(0, height, n)], -1
+    )
+    return prob._replace(obs_pix=jnp.asarray(pix)), hit
+
+
+def test_robust_ba_beats_quadratic_under_outliers():
+    """15% teleported observations: Huber-IRLS BA must land near GT while
+    quadratic BA is visibly dragged off it."""
+    prob, intr, gt_cams, gt_rays, n_real = build_problem(
+        num_kf=6, num_rays_cap=160, noise=0.5, seed=11
+    )
+    prob, hit = _inject_outliers(prob, 0.15, seed=11)
+    assert hit.sum() > 50
+
+    cfg = SLAMConfig(ba_iters=20, ba_huber_px=3.0, ba_irls_rounds=2)
+    res_q = ba.run(prob, intr, cfg)
+    res_r = ba.run_robust(prob, intr, cfg)
+
+    def cam_err(cams):
+        d = np.abs(np.asarray(cams) - gt_cams)
+        return d[:, 0].max(), d[:, 2].max()  # pan (rad), focal (px)
+
+    pan_q, f_q = cam_err(res_q.cams)
+    pan_r, f_r = cam_err(res_r.cams)
+    # robust recovers the cameras; quadratic is dragged off by the outliers
+    assert pan_r < 1e-3, (pan_r, pan_q)
+    assert f_r < 5.0, (f_r, f_q)
+    assert pan_r < 0.5 * pan_q, (pan_r, pan_q)
+    assert float(res_r.cost) < float(res_r.initial_cost)
+
+
+def test_robust_ba_noop_on_clean_problem():
+    """With no outliers, IRLS must not hurt: same minimum as quadratic."""
+    prob, intr, gt_cams, _, _ = build_problem(
+        num_kf=6, num_rays_cap=160, noise=0.5, seed=3
+    )
+    cfg = SLAMConfig(ba_iters=20, ba_huber_px=3.0, ba_irls_rounds=2)
+    res_q = ba.run(prob, intr, cfg)
+    res_r = ba.run_robust(prob, intr, cfg)
+    np.testing.assert_allclose(
+        np.asarray(res_r.cams), np.asarray(res_q.cams), rtol=1e-5, atol=2e-4
+    )
+
+
+def test_slam_long_run_with_outliers_and_dropouts():
+    """Full SLAM loop over 150 frames with 12% outlier keypoints + 5%
+    dropouts: tracking holds, keyframes accumulate, and the final robust
+    BA still improves the map (VERDICT r2 item 8 'Done' criterion)."""
+    frames = 150
+    cfg = SLAMConfig(
+        max_rays=96, max_keypoints=192, max_map_rays=2048, max_keyframes=24,
+        kf_desc_dim=128, sigma_obs=1.0, ba_huber_px=3.0, ba_irls_rounds=2,
+    )
+    seq = synth.make_sequence(
+        num_frames=frames, num_rays=2200, pan_amp=0.45, tilt_amp=0.03,
+        f_amp=350.0, period=frames * 1.1, seed=21,
+    )
+    feats = [
+        synth_features(
+            seq, k, cfg.max_keypoints, noise_px=0.5,
+            outlier_frac=0.12, dropout_frac=0.05, seed=21,
+        )[0]
+        for k in range(frames)
+    ]
+    slam = PTZSlam(cfg, seq.intr)
+    state = slam.init(feats[0].xy, feats[0].desc, feats[0].valid,
+                      seq.cameras[0])
+    xy = jnp.asarray(np.stack([f.xy for f in feats]))
+    desc = jnp.asarray(np.stack([f.desc for f in feats]))
+    valid = jnp.asarray(np.stack([f.valid for f in feats]))
+    state, infos = slam.run_segment(state, xy[1:], desc[1:], valid[1:])
+    recs = infos_to_dicts(infos)
+
+    lost = [r["frame"] for r in recs if r["lost"]]
+    assert len(lost) <= 3, f"lost {len(lost)} frames: {lost[:10]}"
+    assert int(state.kf.count) >= 3
+
+    pose = np.stack([r["pose"] for r in recs])
+    pan_err = np.abs(pose[:, 0] - seq.cameras[1:, 0])
+    assert pan_err.mean() < 3e-3, pan_err.mean()
+
+    # the offline robust BA at the end must not degrade keyframe poses —
+    # and the keyframe association tables (built under outlier pressure)
+    # must be clean enough for it to improve them
+    kf_idx = np.asarray(state.kf.frame_idx)
+    kf_valid = np.asarray(state.kf.valid)
+    pre = np.asarray(state.kf.poses)
+    state2, info = slam.bundle_adjust(state)
+    post = np.asarray(state2.kf.poses)
+    gt_kf = seq.cameras[np.clip(kf_idx, 0, frames - 1)]
+    err_pre = np.abs(pre[kf_valid, 0] - gt_kf[kf_valid, 0]).mean()
+    err_post = np.abs(post[kf_valid, 0] - gt_kf[kf_valid, 0]).mean()
+    assert err_post <= err_pre * 1.5 + 1e-4, (err_pre, err_post)
+    assert err_post < 2e-3, err_post

@@ -126,6 +126,33 @@ def test_cli_fused_images_run(tmp_path):
     assert len(lines) == 11
 
 
+def test_cli_zoom_sweep_default_normalization(tmp_path):
+    """A ~2x focal sweep tracks with NO config file (VERDICT r2 item 4):
+    descriptor zoom normalization must be the DEFAULT product behavior
+    (descriptor_f_ref auto-resolves to the init pose's focal)."""
+    out = str(tmp_path / "zoom")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "ptzjax.run", "--synthetic-images",
+            "--frames", "40", "--out", out, "--platform", "cpu",
+            "--width", "480", "--height", "270", "--chunk", "10",
+            "--f0", "1300", "--f-amp", "430", "--period", "30",
+            "--pan-amp", "0.05",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["frames_lost"] == 0, summary
+    assert summary["pan_mae_deg"] < 0.2, summary
+    # the sweep really was ~2x
+    import numpy as np
+
+    gt = np.load(os.path.join(out, "trajectory.npz"))["gt"]
+    assert gt[:, 2].max() / gt[:, 2].min() > 1.8, gt[:, 2]
+
+
 def test_cli_resume_from_checkpoint(tmp_path):
     """--resume continues a checkpointed run: the resumed half must pick up
     at the right frame and stay accurate (VERDICT r1 item 6)."""
