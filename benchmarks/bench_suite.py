@@ -587,6 +587,100 @@ def bench_tpu_parity() -> list[dict]:
     return results
 
 
+def bench_frontend_parity() -> list[dict]:
+    """cv2-vs-TPU frontend head-to-head (VERDICT r2 item 5; BASELINE.md
+    config 1 vs 4): the SAME rendered 720p sequence through (a) OpenCV SIFT
+    ingestion — the reference's own vision stack — and (b) the on-device
+    Pallas/upright-SIFT frontend, both feeding the identical SLAM loop.
+    Reports trajectory MAE + reprojection RMSE for both; vs_baseline on the
+    tpu row is cv2_pan_mae / tpu_pan_mae (>= 0.5 means the TPU vision stack
+    is within the ~2x accuracy bound the north star asks for)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptzjax import eval as evallib
+    from ptzjax import synth
+    from ptzjax.config import SLAMConfig
+    from ptzjax.frontend import extract_features
+    from ptzjax.frontend_cv2 import extract_features_cv2, has_cv2
+    from ptzjax.geometry import Intrinsics
+    from ptzjax.slam import PTZSlam
+
+    if not has_cv2():
+        raise RuntimeError("cv2 unavailable; config-1 parity bench needs it")
+
+    w, h, frames = 1280, 720, 100
+    cfg = SLAMConfig(
+        image_width=w, image_height=h, max_rays=128, max_keypoints=256,
+        max_map_rays=2048, max_keyframes=32, kf_desc_dim=128, sigma_obs=1.0,
+        descriptor_f_ref=2000.0,
+    )
+    intr = Intrinsics.create(w / 2.0, h / 2.0)
+    pano = synth.make_panorama(seed=0)
+    cams = synth.make_trajectory(
+        frames, pan_amp=0.12, tilt0=-0.05, tilt_amp=0.02,
+        f0=2000.0, f_amp=250.0, period=frames * 1.2, seed=0,
+    )
+    imgs = np.stack(
+        [synth.render_image(pano, c, intr, w, h) for c in cams]
+    ).astype(np.float32)
+    use_pallas = jax.default_backend() == "tpu"
+
+    def run_staged(feats):
+        slam = PTZSlam(cfg, intr)
+        state = slam.init(feats[0].xy, feats[0].desc, feats[0].valid, cams[0])
+        xy = jnp.stack([jnp.asarray(f.xy) for f in feats[1:]])
+        desc = jnp.stack([jnp.asarray(f.desc) for f in feats[1:]])
+        valid = jnp.stack([jnp.asarray(f.valid) for f in feats[1:]])
+        state, infos = slam.run_segment(state, xy, desc, valid)
+        return jax.device_get(infos)
+
+    # (a) reference vision stack: cv2 SIFT on the host
+    cv2_feats = [extract_features_cv2(im, cfg) for im in imgs]
+    infos_cv2 = run_staged(cv2_feats)
+
+    # (b) TPU vision stack: fused from-pixels loop
+    slam = PTZSlam(cfg, intr)
+    f0 = extract_features(
+        jnp.asarray(imgs[0]), cfg, use_pallas=use_pallas,
+        focal=jnp.asarray(cams[0][2]),
+    )
+    state = slam.init(*f0, cams[0])
+    _, infos_tpu = slam.run_segment_pixels(
+        state, jnp.asarray(imgs[1:]), use_pallas=use_pallas
+    )
+    infos_tpu = jax.device_get(infos_tpu)
+
+    def metrics(infos):
+        pose = np.asarray(infos.pose)
+        errs = evallib.trajectory_errors(pose, cams[1:]).as_dict()
+        errs["reproj_rmse_px"] = evallib.reprojection_rmse(
+            pose, cams[1:], intr, w, h
+        )
+        errs["lost"] = int(np.asarray(infos.lost).sum())
+        return errs
+
+    m_cv2 = metrics(infos_cv2)
+    m_tpu = metrics(infos_tpu)
+    assert m_cv2["lost"] == 0 and m_tpu["lost"] == 0, (m_cv2, m_tpu)
+    ratio = m_cv2["pan_mae_deg"] / max(m_tpu["pan_mae_deg"], 1e-12)
+    rows = []
+    for name, m, vs in (("cv2", m_cv2, 1.0), ("tpu", m_tpu, round(ratio, 2))):
+        rows.append({
+            "metric": f"frontend_accuracy_{name}",
+            "value": round(m["pan_mae_deg"], 6),
+            "unit": (
+                f"pan MAE deg (tilt {m['tilt_mae_deg']:.6f} deg, "
+                f"f {m['focal_mae_px']:.3f} px, reproj "
+                f"{m['reproj_rmse_px']:.3f} px; same rendered 720p seq, "
+                f"{frames} frames, 0 lost)"
+            ),
+            "vs_baseline": vs,
+        })
+    return rows
+
+
 def bench_reloc_forest() -> dict:
     import numpy as np
 
@@ -672,6 +766,8 @@ def _run_group(group: str) -> list[dict]:
         return bench_kernels()
     if group == "parity":
         return bench_tpu_parity()
+    if group == "frontends":
+        return bench_frontend_parity()
     if group == "flow":
         return [bench_flow()]
     if group == "forest":
@@ -686,7 +782,8 @@ def main() -> None:
     ap.add_argument("--out", default="benchmarks/RESULTS.md")
     ap.add_argument(
         "--only", default=None,
-        help="comma list: slam,pixels,ba,kernels,parity,flow,forest,dist",
+        help="comma list: slam,pixels,ba,kernels,parity,frontends,flow,"
+             "forest,dist",
     )
     ap.add_argument(
         "--raw", action="store_true",
@@ -694,7 +791,8 @@ def main() -> None:
     )
     args = ap.parse_args()
     wanted = (
-        args.only or "slam,pixels,ba,kernels,parity,flow,forest,dist"
+        args.only
+        or "slam,pixels,ba,kernels,parity,frontends,flow,forest,dist"
     ).split(",")
 
     if args.raw:
