@@ -60,11 +60,40 @@ def _maybe_deg_to_rad(pan_tilt: np.ndarray) -> np.ndarray:
     return pan_tilt
 
 
+def _validate_cams(cams: np.ndarray, path: str) -> np.ndarray:
+    """Fail loudly on malformed GT instead of tracking garbage (VERDICT r2
+    weak #7: the probe-and-guess loader needs hard negative paths)."""
+    cams = np.asarray(cams)
+    if cams.ndim != 2 or cams.shape[1] != 3 or len(cams) == 0:
+        raise ValueError(
+            f"{path}: annotation must be a non-empty (T, 3) array of "
+            f"(pan, tilt, focal); got shape {cams.shape}"
+        )
+    if not np.isfinite(cams).all():
+        bad = np.flatnonzero(~np.isfinite(cams).all(axis=1))
+        raise ValueError(
+            f"{path}: non-finite camera values at frames {bad[:10].tolist()}"
+        )
+    if (cams[:, 2] <= 0).any():
+        bad = np.flatnonzero(cams[:, 2] <= 0)
+        raise ValueError(
+            f"{path}: non-positive focal lengths at frames "
+            f"{bad[:10].tolist()} — column order is (pan, tilt, focal)"
+        )
+    return cams
+
+
 def load_annotations(path: str) -> SequenceAnnotations:
     """Load sequence annotations from .mat (reference layout) or .npz (ours)."""
     if path.endswith(".npz"):
         d = np.load(path, allow_pickle=True)
-        cams = d["cameras"].astype(np.float32)
+        missing = [k for k in ("cameras", "cx", "cy") if k not in d]
+        if missing:
+            raise ValueError(
+                f"{path}: npz annotation missing keys {missing}; "
+                f"found {sorted(d.files)}"
+            )
+        cams = _validate_cams(d["cameras"], path).astype(np.float32)
         intr = Intrinsics.create(
             float(d["cx"]), float(d["cy"]),
             center=d["center"] if "center" in d else None,
@@ -96,9 +125,20 @@ def load_annotations(path: str) -> SequenceAnnotations:
         # struct array: per-frame records with .ptz / .camera / .image_name
         cams = []
         bboxes = []
-        for rec in ann:
+        for i, rec in enumerate(ann):
             ptz = getattr(rec, "ptz", getattr(rec, "camera", None))
-            cams.append(np.asarray(ptz, np.float64).reshape(-1)[:3])
+            if ptz is None:
+                raise ValueError(
+                    f"{path}: frame record {i} has neither .ptz nor "
+                    f".camera; fields: {rec._fieldnames}"
+                )
+            vals = np.asarray(ptz, np.float64).reshape(-1)
+            if vals.size < 3:
+                raise ValueError(
+                    f"{path}: frame record {i} ptz has {vals.size} values; "
+                    "need (pan, tilt, focal)"
+                )
+            cams.append(vals[:3])
             names.append(str(getattr(rec, "image_name", "")))
             bb = getattr(rec, "bounding_box", getattr(rec, "bbox", None))
             bboxes.append(
@@ -107,8 +147,21 @@ def load_annotations(path: str) -> SequenceAnnotations:
             )
         cams = np.stack(cams)
     else:
-        cams = np.asarray(ann, np.float64).reshape(-1, 3)
+        arr = np.asarray(ann, np.float64)
+        if arr.ndim == 2 and arr.shape[1] != 3:
+            # an explicit check: a (T, 2) array with T divisible by 3 would
+            # otherwise silently reshape into garbage (pan, tilt, focal)
+            raise ValueError(
+                f"{path}: annotation array must be (T, 3); got {arr.shape}"
+            )
+        if arr.size == 0 or arr.size % 3:
+            raise ValueError(
+                f"{path}: annotation array has {arr.size} values, not a "
+                "multiple of 3 (pan, tilt, focal per frame)"
+            )
+        cams = arr.reshape(-1, 3)
 
+    cams = _validate_cams(cams, path)
     cams = np.concatenate(
         [_maybe_deg_to_rad(cams[:, :2]), cams[:, 2:3]], axis=1
     ).astype(np.float32)
@@ -174,7 +227,13 @@ def boxes_to_mask(
     ALLOWED (the reference masks keypoints inside player boxes — SURVEY.md
     §1 item 1)."""
     mask = np.ones((height, width), bool)
-    for x1, y1, x2, y2 in np.asarray(bboxes, np.float32).reshape(-1, 4):
+    arr = np.asarray(bboxes, np.float32)
+    if arr.size % 4:
+        raise ValueError(
+            f"bounding boxes must be (N, 4) (x1, y1, x2, y2); got shape "
+            f"{arr.shape}"
+        )
+    for x1, y1, x2, y2 in arr.reshape(-1, 4):
         xa = max(int(np.floor(x1)) - dilate, 0)
         ya = max(int(np.floor(y1)) - dilate, 0)
         xb = min(int(np.ceil(x2)) + dilate, width)

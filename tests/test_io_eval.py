@@ -15,7 +15,15 @@ from ptzjax.geometry import Intrinsics
 
 class TestAnnotations:
     def test_npz_roundtrip(self, tmp_path):
-        cams = np.random.default_rng(0).normal(size=(20, 3)).astype(np.float32)
+        rng = np.random.default_rng(0)
+        cams = np.stack(
+            [
+                rng.normal(0.0, 0.3, 20),
+                rng.normal(-0.1, 0.05, 20),
+                rng.uniform(1500.0, 3000.0, 20),
+            ],
+            axis=-1,
+        ).astype(np.float32)
         intr = Intrinsics.create(640.0, 360.0)
         p = str(tmp_path / "ann.npz")
         io.save_annotations_npz(p, cams, intr, [f"f{i:04d}.jpg" for i in range(20)])
@@ -174,3 +182,105 @@ class TestRansacPanTilt:
         import os
 
         assert os.path.isdir(str(tmp_path / "trace"))
+
+
+class TestAnnotationNegativePaths:
+    """Malformed-annotation handling (VERDICT r2 weak #7): the .mat/.npz
+    probe must fail LOUDLY with a diagnostic, never track garbage."""
+
+    def _savemat(self, tmp_path, name, **kw):
+        import scipy.io as sio
+
+        p = str(tmp_path / name)
+        sio.savemat(p, kw)
+        return p
+
+    def test_mat_missing_annotation_key(self, tmp_path):
+        import pytest
+
+        from ptzjax.io import load_annotations
+
+        p = self._savemat(tmp_path, "a.mat", unrelated=np.ones((4, 3)))
+        with pytest.raises(ValueError, match="no annotation key"):
+            load_annotations(p)
+
+    def test_mat_wrong_column_count(self, tmp_path):
+        import pytest
+
+        from ptzjax.io import load_annotations
+
+        # (6, 2): 12 values — divisible by 3, so a naive reshape would
+        # silently build garbage (pan, tilt, focal) rows
+        p = self._savemat(tmp_path, "b.mat", annotation=np.ones((6, 2)))
+        with pytest.raises(ValueError, match=r"\(T, 3\)"):
+            load_annotations(p)
+
+    def test_mat_non_finite_values(self, tmp_path):
+        import pytest
+
+        from ptzjax.io import load_annotations
+
+        arr = np.tile([10.0, -5.0, 2000.0], (5, 1))
+        arr[3, 1] = np.nan
+        p = self._savemat(tmp_path, "c.mat", annotation=arr)
+        with pytest.raises(ValueError, match="non-finite"):
+            load_annotations(p)
+
+    def test_mat_non_positive_focal(self, tmp_path):
+        import pytest
+
+        from ptzjax.io import load_annotations
+
+        arr = np.tile([10.0, -5.0, 2000.0], (5, 1))
+        arr[2, 2] = 0.0  # suggests wrong column order
+        p = self._savemat(tmp_path, "d.mat", annotation=arr)
+        with pytest.raises(ValueError, match="focal"):
+            load_annotations(p)
+
+    def test_mat_degrees_detected_and_converted(self, tmp_path):
+        from ptzjax.io import load_annotations
+
+        arr = np.tile([25.0, -9.0, 2400.0], (4, 1))  # degrees-scale pan
+        p = self._savemat(tmp_path, "e.mat", annotation=arr)
+        ann = load_annotations(p)
+        np.testing.assert_allclose(ann.cameras[0, 0], np.deg2rad(25.0), rtol=1e-6)
+        np.testing.assert_allclose(ann.cameras[0, 2], 2400.0)
+
+    def test_npz_missing_keys(self, tmp_path):
+        import pytest
+
+        from ptzjax.io import load_annotations
+
+        p = str(tmp_path / "f.npz")
+        np.savez(p, cameras=np.tile([0.1, -0.05, 2000.0], (4, 1)))
+        with pytest.raises(ValueError, match="missing keys"):
+            load_annotations(p)
+
+    def test_npz_bad_shape(self, tmp_path):
+        import pytest
+
+        from ptzjax.io import load_annotations
+
+        p = str(tmp_path / "g.npz")
+        np.savez(p, cameras=np.ones((0, 3)), cx=640.0, cy=360.0)
+        with pytest.raises(ValueError, match="non-empty"):
+            load_annotations(p)
+
+    def test_garbage_mat_file_raises(self, tmp_path):
+        import pytest
+
+        from ptzjax.io import load_annotations
+
+        p = str(tmp_path / "h.mat")
+        with open(p, "wb") as f:
+            f.write(b"not a mat file at all" * 10)
+        with pytest.raises(Exception):
+            load_annotations(p)
+
+    def test_malformed_bboxes(self):
+        import pytest
+
+        from ptzjax.io import boxes_to_mask
+
+        with pytest.raises(ValueError, match=r"\(N, 4\)"):
+            boxes_to_mask(np.ones((3,)), 64, 64)
