@@ -843,6 +843,13 @@ def main() -> None:
             )
         if failed:
             f.write(f"\n**FAILED groups: {', '.join(failed)}**\n")
+        # durable appendix (profiling breakdowns, sweeps, sanitizer record)
+        # survives regeneration of the table above
+        extra = os.path.join(os.path.dirname(os.path.abspath(args.out)),
+                             "RESULTS_extra.md")
+        if os.path.exists(extra):
+            with open(extra) as ef:
+                f.write("\n" + ef.read())
     print(f"wrote {args.out}")
     if failed:
         # a failed group must fail the run, not vanish into stderr

@@ -78,7 +78,7 @@ def main() -> None:
 
     _sync_tunnel()
 
-    def slope_ms(make, n_small=4, n_big=20, retries=2):
+    def slope_ms(make, n_small=8, n_big=64, retries=2):
         t_start = time.perf_counter()
         for attempt in range(retries + 1):
             f_s, a_s = make(n_small)
