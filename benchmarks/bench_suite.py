@@ -574,13 +574,29 @@ def bench_tpu_parity() -> list[dict]:
     norms = np.linalg.norm(np.asarray(d), axis=-1)
     assert np.all(np.abs(norms - 1.0) < 1e-3), "descriptor norms off"
 
+    # 4. batched-DMA window gather vs XLA gather: descriptors must be
+    # BITWISE identical on the real chip (fixed + zoom-normalized paths)
+    desc_eq = []
+    for scale in (None, jnp.asarray(1.17)):
+        d_jax = describe_keypoints(img, xy, valid, scale=scale)
+        d_pal = describe_keypoints(
+            img, xy, valid, scale=scale, use_pallas=True
+        )
+        eq = np.array_equal(np.asarray(d_jax), np.asarray(d_pal))
+        desc_eq.append(eq)
+        assert eq, (
+            f"window-gather descriptors differ on {backend} (scale={scale}): "
+            f"max {np.abs(np.asarray(d_jax) - np.asarray(d_pal)).max()}"
+        )
+
     results.append({
         "metric": "tpu_kernel_parity", "value": 1.0,
         "unit": (
             f"pass on backend={backend} (harris interior rel err {h_err:.1e}, "
             f"kp tables bitwise {n_xy_eq}/256, "
             f"match ok-agree {agree:.3f}, idx-agree {idx_agree:.4f}, "
-            f"lk {ntr}/256 tracked)"
+            f"lk {ntr}/256 tracked, desc gather bitwise "
+            f"{'+'.join('yes' if e else 'NO' for e in desc_eq)})"
         ),
         "vs_baseline": 1.0,
     })

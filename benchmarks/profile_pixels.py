@@ -143,7 +143,9 @@ def main() -> None:
         return (
             jax.jit(
                 lambda xs: jax.lax.map(
-                    lambda im: describe_keypoints(im, kp.xy, kp.valid), xs
+                    lambda im: describe_keypoints(
+                        im, kp.xy, kp.valid, use_pallas=use_pallas
+                    ), xs
                 )
             ),
             (frames_arg(n),),
@@ -157,7 +159,8 @@ def main() -> None:
             jax.jit(
                 lambda xs: jax.lax.map(
                     lambda im: describe_keypoints(
-                        im, kp.xy, kp.valid, scale=jnp.asarray(1.05)
+                        im, kp.xy, kp.valid, scale=jnp.asarray(1.05),
+                        use_pallas=use_pallas,
                     ),
                     xs,
                 )

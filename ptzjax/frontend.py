@@ -59,7 +59,10 @@ def extract_features(
         mask=mask,
         use_pallas=use_pallas,
     )
-    desc = describe_keypoints(img, kp.xy, kp.valid, scale=_desc_scale(cfg, focal))
+    desc = describe_keypoints(
+        img, kp.xy, kp.valid, scale=_desc_scale(cfg, focal),
+        use_pallas=use_pallas,
+    )
     return kp.xy, desc, kp.valid
 
 
@@ -132,7 +135,8 @@ def track_features(
     new_xy = res.xy.at[target].set(kp.xy, mode="drop")
     new_valid = tracked.at[target].set(True, mode="drop")
     desc = describe_keypoints(
-        img_next, new_xy, new_valid, scale=_desc_scale(cfg, focal)
+        img_next, new_xy, new_valid, scale=_desc_scale(cfg, focal),
+        use_pallas=use_pallas,
     )
     return new_xy, desc, new_valid, tracked
 

@@ -69,15 +69,11 @@ def _spatial_weights() -> jnp.ndarray:
     return jnp.stack(w, -1) * gauss[:, None]  # (P*P, C*C)
 
 
-def _extract_aligned(img: jax.Array, xy: jax.Array, win: int) -> jax.Array:
-    """Per-keypoint (win, win) windows, subpixel-aligned to the keypoint.
-
-    One contiguous ``dynamic_slice`` per keypoint (whole rows — no scattered
-    gathers), then the 4-shift bilinear blend: all samples of one keypoint
-    share the same fractional offset, so the blend IS the interpolation.
-    Returned window center (index (win-1)/2 + 0.5 convention) sits exactly
-    on the keypoint.
-    """
+def _window_starts(img: jax.Array, xy: jax.Array, win: int):
+    """Shared geometry of the window extraction: padded image, integer
+    window starts, and fractional offsets (identical for both backends —
+    parity between them is bitwise because the blend below consumes the
+    exact same fp32 values)."""
     h, w = img.shape
     half = win // 2
     pad = half + 1
@@ -89,15 +85,47 @@ def _extract_aligned(img: jax.Array, xy: jax.Array, win: int) -> jax.Array:
     # sub row i samples y + (i - (win-1)/2): symmetric half-integer grid
     ys = jnp.clip(y0 - half + pad, 0, h + 2 * pad - win - 1)
     xs = jnp.clip(x0 - half + pad, 0, w + 2 * pad - win - 1)
-    patches = jax.vmap(
-        lambda yy, xx: jax.lax.dynamic_slice(pimg, (yy, xx), (win + 1, win + 1))
-    )(ys, xs)                                            # (K, win+1, win+1)
+    return pimg, ys, xs, fy, fx
+
+
+def _blend(patches, fy, fx, win: int) -> jax.Array:
+    """4-shift bilinear blend over (K, >=win+1, >=win+1) patches — all
+    samples of one keypoint share the same fractional offset, so the blend
+    IS the interpolation."""
     return (
-        patches[:, :-1, :-1] * (1 - fy) * (1 - fx)
-        + patches[:, :-1, 1:] * (1 - fy) * fx
-        + patches[:, 1:, :-1] * fy * (1 - fx)
-        + patches[:, 1:, 1:] * fy * fx
+        patches[:, :win, :win] * (1 - fy) * (1 - fx)
+        + patches[:, :win, 1 : win + 1] * (1 - fy) * fx
+        + patches[:, 1 : win + 1, :win] * fy * (1 - fx)
+        + patches[:, 1 : win + 1, 1 : win + 1] * fy * fx
     )                                                    # (K, win, win)
+
+
+def _extract_aligned(
+    img: jax.Array, xy: jax.Array, win: int, use_pallas: bool = False
+) -> jax.Array:
+    """Per-keypoint (win, win) windows, subpixel-aligned to the keypoint.
+
+    Returned window center (index (win-1)/2 + 0.5 convention) sits exactly
+    on the keypoint. Two backends with BITWISE-identical output:
+
+    - jax: one contiguous ``dynamic_slice`` per keypoint. XLA lowers the
+      vmap to a sequential while loop (~0.42 ms/frame at K=256/win=46 —
+      half the from-pixels frame budget; see benchmarks/RESULTS.md).
+    - pallas (``use_pallas=True``): grid-parallel batched DMA gather
+      (kernels/window_pallas.py), ~15x faster on chip.
+    """
+    pimg, ys, xs, fy, fx = _window_starts(img, xy, win)
+    if use_pallas:
+        from ptzjax.kernels.window_pallas import gather_windows_pallas
+
+        patches = gather_windows_pallas(pimg, ys, xs, win)
+    else:
+        patches = jax.vmap(
+            lambda yy, xx: jax.lax.dynamic_slice(
+                pimg, (yy, xx), (win + 1, win + 1)
+            )
+        )(ys, xs)                                        # (K, win+1, win+1)
+    return _blend(patches, fy, fx, win)
 
 
 def _resample_matrix(scale: jax.Array, n_out: int, win: int) -> jax.Array:
@@ -110,9 +138,13 @@ def _resample_matrix(scale: jax.Array, n_out: int, win: int) -> jax.Array:
     return jnp.clip(1.0 - jnp.abs(pos[:, None] - j[None, :]), 0.0, 1.0)
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("use_pallas",))
 def describe_keypoints(
-    img: jax.Array, xy: jax.Array, valid: jax.Array, scale: jax.Array | None = None
+    img: jax.Array,
+    xy: jax.Array,
+    valid: jax.Array,
+    scale: jax.Array | None = None,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Compute (K, 128) unit-norm upright-SIFT descriptors.
 
@@ -127,6 +159,9 @@ def describe_keypoints(
         footprint constant across zoom — no octave pyramid needed. Clamped
         to [1/MAX_SCALE, MAX_SCALE]. None = fixed 1-pixel spacing (slightly
         cheaper; identical to scale=1).
+      use_pallas: gather the per-keypoint windows with the batched-DMA TPU
+        kernel (kernels/window_pallas.py) instead of XLA's sequential
+        gather loop — bitwise-identical descriptors, ~15x faster on chip.
 
     Returns:
       (K, 128) fp32, L2-normalized per row (zeros where invalid).
@@ -134,12 +169,16 @@ def describe_keypoints(
     img = img.astype(jnp.float32)
 
     if scale is None:
-        sub = _extract_aligned(img, xy, PATCH + 2)       # (K, P+2, P+2)
+        sub = _extract_aligned(
+            img, xy, PATCH + 2, use_pallas=use_pallas
+        )                                                # (K, P+2, P+2)
     else:
         s = jnp.clip(
             jnp.asarray(scale, jnp.float32), 1.0 / MAX_SCALE, MAX_SCALE
         )
-        windows = _extract_aligned(img, xy, SCALED_WIN)  # (K, W, W)
+        windows = _extract_aligned(
+            img, xy, SCALED_WIN, use_pallas=use_pallas
+        )                                                # (K, W, W)
         r = _resample_matrix(s, PATCH + 2, SCALED_WIN)   # (P+2, W)
         # separable shared-weight resample: two small MXU matmuls
         sub = jnp.einsum(

@@ -92,6 +92,52 @@ class TestHarris:
         assert (xy[:, 0] >= img.shape[1] // 2 - 1).all()
 
 
+class TestWindowGather:
+    def test_pallas_descriptors_bitwise_match_jax(self):
+        """The batched-DMA window gather (kernels/window_pallas.py) must
+        produce BITWISE-identical descriptors to the XLA gather path, for
+        both the fixed and the zoom-normalized (traced scale) variants,
+        including keypoints at subpixel positions and near borders."""
+        img = _texture(h=120, w=200, seed=7)
+        rng = np.random.default_rng(7)
+        xy = np.stack(
+            [rng.uniform(1.0, 199.0, 37), rng.uniform(1.0, 119.0, 37)], -1
+        ).astype(np.float32)
+        xy[0] = [0.2, 0.3]          # extreme corner
+        xy[1] = [198.9, 118.7]
+        valid = np.ones((37,), bool)
+        valid[-2:] = False
+        for scale in (None, jnp.asarray(1.37)):
+            d_jax = describe_keypoints(
+                jnp.asarray(img), jnp.asarray(xy), jnp.asarray(valid),
+                scale=scale,
+            )
+            d_pal = describe_keypoints(
+                jnp.asarray(img), jnp.asarray(xy), jnp.asarray(valid),
+                scale=scale, use_pallas=True,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(d_jax), np.asarray(d_pal)
+            )
+
+    def test_gather_windows_raw_values(self):
+        from ptzjax.kernels.window_pallas import gather_windows_pallas
+
+        rng = np.random.default_rng(3)
+        img = rng.normal(size=(77, 183)).astype(np.float32)
+        win = 18
+        ys = rng.integers(0, 77 - win - 1, 21).astype(np.int32)
+        xs = rng.integers(0, 183 - win - 1, 21).astype(np.int32)
+        out = gather_windows_pallas(
+            jnp.asarray(img), jnp.asarray(ys), jnp.asarray(xs), win
+        )
+        for k in range(21):
+            np.testing.assert_array_equal(
+                np.asarray(out)[k, : win + 1, : win + 1],
+                img[ys[k] : ys[k] + win + 1, xs[k] : xs[k] + win + 1],
+            )
+
+
 class TestDescriptor:
     def test_unit_norm_and_masking(self):
         img = _texture(seed=1)
