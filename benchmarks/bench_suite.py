@@ -373,7 +373,8 @@ def bench_flow() -> dict:
         jnp.float32,
     )
     valid = jnp.ones((512,), bool)
-    r = lk_track(img0, img1, xy, valid)
+    use_pallas = jax.default_backend() == "tpu"
+    r = lk_track(img0, img1, xy, valid, use_pallas=use_pallas)
     jax.block_until_ready(r)
     _sync_tunnel()
 
@@ -387,7 +388,10 @@ def bench_flow() -> dict:
         return (
             jax.jit(
                 lambda qs: jax.lax.map(
-                    lambda q: lk_track(img0, img1, q, valid).xy, qs
+                    lambda q: lk_track(
+                        img0, img1, q, valid, use_pallas=use_pallas
+                    ).xy,
+                    qs,
                 )
             ),
             xys,
@@ -570,6 +574,14 @@ def bench_tpu_parity() -> list[dict]:
     r = lk_track(img, img2, xy, valid)
     ntr = int(np.asarray(r.tracked).sum())
     assert ntr > 128, f"lk tracked only {ntr}/256 on {backend}"
+    r_pal = lk_track(img, img2, xy, valid, use_pallas=True)
+    lk_bitwise = np.array_equal(
+        np.asarray(r.xy), np.asarray(r_pal.xy)
+    ) and np.array_equal(np.asarray(r.tracked), np.asarray(r_pal.tracked))
+    assert lk_bitwise, (
+        f"lk pallas-gather tracks differ on {backend}: max "
+        f"{np.abs(np.asarray(r.xy) - np.asarray(r_pal.xy)).max()}"
+    )
     d = describe_keypoints(img, xy, valid)
     norms = np.linalg.norm(np.asarray(d), axis=-1)
     assert np.all(np.abs(norms - 1.0) < 1e-3), "descriptor norms off"

@@ -21,7 +21,6 @@ class SLAMConfig:
     image_height: int = 720
     max_keypoints: int = 512          # per-frame detector cap (padded table)
     detector_threshold: float = 0.01  # Harris/DoG response floor
-    nms_cell: int = 16                # grid NMS cell size (pixels)
 
     # --- descriptor zoom normalization (SURVEY.md §8.5) ---
     # focal is EKF state, so descriptors can keep a constant ANGULAR

@@ -154,21 +154,48 @@ def update(
     pred_pix, j_cam, j_ray = project_jacobians(pose, state.rays, intr)
     innov = obs - pred_pix  # (N, 2)
 
-    # Mahalanobis innovation gate against the *predicted* per-slot innovation
-    # covariance S_i = J P J^T + R (2x2). This admits large pixel innovations
-    # while the velocity is still uncertain (right after init/reloc) and
-    # tightens as the filter converges; a fixed pixel gate deadlocks with
-    # constant-velocity startup (lost -> reloc -> zero velocity -> lost).
+    # Structured Kalman algebra: H = [Jc | 0 | blockdiag(Jr)] is NEVER
+    # materialized, and the UNMASKED innovation-covariance S_u is built
+    # FIRST so the Mahalanobis gate reads its diagonal 2x2 blocks for free
+    # (the former standalone gate einsums + a diag-block gather cost
+    # ~0.20 ms/frame in context on v5e — the single largest item in the
+    # whole frame step). Masking commutes exactly: zeroing H's row-pair i
+    # scales S rows/cols and P H^T columns by used in {0,1}, which is
+    # fp-exact, so gating AFTER building S_u changes no update value.
+    # Obs row-pair i occupies rows 2i:2i+2; H's nonzero cols are 0:3
+    # (camera) and 6+2i:6+2i+2 (its own ray).
     hi = jax.lax.Precision.HIGHEST
-    p_cc = state.cov[0:3, 0:3]
-    p_cr = state.cov[0:3, 6:].reshape(3, n, 2)
-    p_rr = state.cov[6:, 6:].reshape(n, 2, n, 2)[
-        jnp.arange(n), :, jnp.arange(n), :
-    ]                                                       # (N,2,2)
-    s1 = jnp.einsum("nac,cd,nbd->nab", j_cam, p_cc, j_cam, precision=hi)
-    s2 = jnp.einsum("nac,cnd,nbd->nab", j_cam, p_cr, j_ray, precision=hi)
-    s3 = jnp.einsum("nac,ncd,nbd->nab", j_ray, p_rr, j_ray, precision=hi)
-    s_i = s1 + s2 + s2.transpose(0, 2, 1) + s3 + cfg.sigma_obs**2 * jnp.eye(2)
+    jc2 = j_cam.reshape(2 * n, 3)
+
+    # P H^T (unmasked): [d, 2i+a] = P[d,0:3]·Jc[i,a,:] + P[d,2i:2i+2]·Jr[i,a,:]
+    pr = state.cov[:, 6:].reshape(d, n, 2)
+    ph_t = (
+        _mm(state.cov[:, 0:3], jc2.T)
+        + jnp.einsum("dnb,nab->dna", pr, j_ray, precision=hi).reshape(
+            d, 2 * n
+        )
+    )                                                    # (D, 2N)
+
+    # S_u = H (P H^T): row-pair i = Jc_i·PHT[0:3] + Jr_i·PHT[6+2i:6+2i+2]
+    pht_r = ph_t[6:].reshape(n, 2, 2 * n)
+    s = (
+        _mm(jc2, ph_t[0:3])
+        + jnp.einsum("nab,nbm->nam", j_ray, pht_r, precision=hi).reshape(
+            2 * n, 2 * n
+        )
+    )
+
+    # Mahalanobis innovation gate against the *predicted* per-slot
+    # innovation covariance S_i = (S_u diag block) + R. This admits large
+    # pixel innovations while the velocity is still uncertain (right after
+    # init/reloc) and tightens as the filter converges; a fixed pixel gate
+    # deadlocks with constant-velocity startup (lost -> reloc -> zero
+    # velocity -> lost). Diag blocks via mask+reduce (one VPU pass — an
+    # advanced-indexing gather here serializes).
+    eye_n = jnp.eye(n, dtype=jnp.float32)
+    s_i = (
+        s.reshape(n, 2, n, 2) * eye_n[:, None, :, None]
+    ).sum(2) + cfg.sigma_obs**2 * jnp.eye(2)             # (N, 2, 2)
     det = s_i[:, 0, 0] * s_i[:, 1, 1] - s_i[:, 0, 1] * s_i[:, 1, 0]
     maha2 = (
         s_i[:, 1, 1] * innov[:, 0] ** 2
@@ -194,27 +221,16 @@ def update(
     used_f = used.astype(jnp.float32)[:, None]           # (N, 1)
     innov = jnp.where(used[:, None], innov, 0.0)
 
-    # Build H (2N, D): camera block + block-diagonal ray block, masked rows.
-    # The ray block is built densely (outer product against eye(N)) — an
-    # elementwise scatter of the (N,2,2) blocks is ~6x slower on TPU.
-    j_cam = j_cam * used_f[..., None]
-    j_ray = j_ray * used_f[..., None]
-    eye_n = jnp.eye(n, dtype=jnp.float32)
-    ray_block = (
-        j_ray[:, :, None, :] * eye_n[:, None, :, None]
-    ).reshape(2 * n, 2 * n)                              # blockdiag(j_ray)
-    h = jnp.concatenate(
-        [
-            j_cam.reshape(2 * n, 3),
-            jnp.zeros((2 * n, 3), jnp.float32),
-            ray_block,
-        ],
-        axis=1,
-    )
+    # apply the gate: zero unused row-pairs of S / cols of PHT / Jacobians
+    u2 = jnp.repeat(used, 2).astype(jnp.float32)         # (2N,)
+    ph_t = ph_t * u2[None, :]
+    s = s * (u2[:, None] * u2[None, :])
+    j_cam = j_cam * used_f[..., None]                    # (N, 2, 3)
+    j_ray = j_ray * used_f[..., None]                    # (N, 2, 2)
+    jc2 = j_cam.reshape(2 * n, 3)
 
     r_diag = jnp.full((2 * n,), cfg.sigma_obs**2, jnp.float32)
-    ph_t = _mm(state.cov, h.T)                           # (D, 2N)
-    s = _mm(h, ph_t) + jnp.diag(r_diag)                  # (2N, 2N)
+    s = s + jnp.diag(r_diag)
     # Solve S X = (P H^T)^T via Cholesky; K = X^T.
     chol = jax.scipy.linalg.cho_factor(s, lower=True)
     k = jax.scipy.linalg.cho_solve(chol, ph_t.T).T       # (D, 2N)
@@ -223,8 +239,21 @@ def update(
     cam = state.cam + dx[:6]
     rays = state.rays + dx[6:].reshape(n, 2)
 
-    # Joseph-form covariance update for fp32 stability.
-    ikh = jnp.eye(d, dtype=jnp.float32) - _mm(k, h)
+    # Joseph-form covariance update for fp32 stability. K H reuses the same
+    # block structure: cols 0:3 = K·Jc, cols 3:6 = 0, ray col-pair j only
+    # sees K's own column pair.
+    kr = k.reshape(d, n, 2)
+    kh = jnp.concatenate(
+        [
+            _mm(k, jc2),
+            jnp.zeros((d, 3), jnp.float32),
+            jnp.einsum("dna,nab->dnb", kr, j_ray, precision=hi).reshape(
+                d, 2 * n
+            ),
+        ],
+        axis=1,
+    )
+    ikh = jnp.eye(d, dtype=jnp.float32) - kh
     cov = _mm(_mm(ikh, state.cov), ikh.T) + _mm(k * r_diag[None, :], k.T)
     cov = 0.5 * (cov + cov.T)
 

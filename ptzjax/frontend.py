@@ -105,7 +105,7 @@ def track_features(
     res = lk_track(
         img_prev, img_next, xy, valid,
         levels=cfg.flow_levels, patch=cfg.flow_patch, iters=cfg.flow_iters,
-        fb_tol=cfg.track_gate_px / 4.0,
+        fb_tol=cfg.track_gate_px / 4.0, use_pallas=use_pallas,
     )
     tracked = res.tracked
 

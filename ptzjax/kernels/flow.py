@@ -83,7 +83,29 @@ def build_pyramid(img: jax.Array, levels: int) -> list[jax.Array]:
     return pyr
 
 
-def _sample_patches(img: jax.Array, xy: jax.Array, patch: int) -> jax.Array:
+def _gather(pimg: jax.Array, ys: jax.Array, xs: jax.Array, size: int,
+            use_pallas: bool) -> jax.Array:
+    """(K, size, size) integer windows ``pimg[ys:ys+size, xs:xs+size]``.
+
+    ``use_pallas`` routes through the batched-DMA gather kernel
+    (kernels/window_pallas.py) — bitwise-identical values; the XLA vmapped
+    dynamic_slice lowers to a SEQUENTIAL per-keypoint loop and made this
+    module's 16 gather calls per track (4 levels x 2 windows x 2
+    directions) cost ~13 ms/frame-pair at 512 kp."""
+    if use_pallas:
+        from ptzjax.kernels.window_pallas import gather_windows_pallas
+
+        return gather_windows_pallas(pimg, ys, xs, size - 1)[
+            :, :size, :size
+        ]
+    return jax.vmap(
+        lambda yy, xx: jax.lax.dynamic_slice(pimg, (yy, xx), (size, size))
+    )(ys, xs)
+
+
+def _sample_patches(
+    img: jax.Array, xy: jax.Array, patch: int, use_pallas: bool = False
+) -> jax.Array:
     """(K, patch, patch) bilinear patches centered on subpixel ``xy``:
     sample p of a patch sits exactly at xy + (p - (patch-1)/2) (odd patch
     sizes — the windowed einsum sampler in ``_lk_level`` uses the same
@@ -100,9 +122,7 @@ def _sample_patches(img: jax.Array, xy: jax.Array, patch: int) -> jax.Array:
     fx = jnp.clip(xy[:, 0] - x0, 0.0, 1.0)[:, None, None]
     ys = jnp.clip(y0 - c + pad, 0, h + 2 * pad - win)
     xs = jnp.clip(x0 - c + pad, 0, w + 2 * pad - win)
-    windows = jax.vmap(
-        lambda yy, xx: jax.lax.dynamic_slice(pimg, (yy, xx), (win, win))
-    )(ys, xs)                                            # (K, win, win)
+    windows = _gather(pimg, ys, xs, win, use_pallas)     # (K, win, win)
     return (
         windows[:, :-1, :-1] * (1 - fy) * (1 - fx)
         + windows[:, :-1, 1:] * (1 - fy) * fx
@@ -116,7 +136,10 @@ def _sample_patches(img: jax.Array, xy: jax.Array, patch: int) -> jax.Array:
 _DISP = 8
 
 
-def _extract_windows(img: jax.Array, xy: jax.Array, win: int, anchor_off: int):
+def _extract_windows(
+    img: jax.Array, xy: jax.Array, win: int, anchor_off: int,
+    use_pallas: bool = False,
+):
     """(K, win, win) integer-aligned windows whose (anchor_off, anchor_off)
     pixel sits at round(xy). Returns (windows, anchor) with anchor the
     integer position of window pixel (0, 0) in image coordinates."""
@@ -127,9 +150,7 @@ def _extract_windows(img: jax.Array, xy: jax.Array, win: int, anchor_off: int):
     x0 = jnp.round(xy[:, 0]).astype(jnp.int32) - anchor_off
     ys = jnp.clip(y0 + pad, 0, h + 2 * pad - win)
     xs = jnp.clip(x0 + pad, 0, w + 2 * pad - win)
-    windows = jax.vmap(
-        lambda yy, xx: jax.lax.dynamic_slice(pimg, (yy, xx), (win, win))
-    )(ys, xs)
+    windows = _gather(pimg, ys, xs, win, use_pallas)
     anchor = jnp.stack([xs - pad, ys - pad], -1).astype(jnp.float32)  # (K, 2)
     return windows, anchor
 
@@ -144,7 +165,8 @@ def _sel_weights(pos: jax.Array, patch: int, win: int) -> jax.Array:
     return jnp.clip(1.0 - jnp.abs(t - wco), 0.0, 1.0)         # (K, P, W)
 
 
-def _lk_level(prev, nxt, xy_prev, guess, patch: int, iters: int):
+def _lk_level(prev, nxt, xy_prev, guess, patch: int, iters: int,
+              use_pallas: bool = False):
     """One pyramid level of iterative LK for all keypoints.
 
     TPU realization: per-keypoint windows of the next frame are gathered
@@ -158,7 +180,7 @@ def _lk_level(prev, nxt, xy_prev, guess, patch: int, iters: int):
     Returns (refined guess (K, 2), min_eig (K,), residual (K,)).
     """
     # template + fixed spatial gradients from the previous frame
-    tmpl_w = _sample_patches(prev, xy_prev, patch + 2)    # (K, P+2, P+2)
+    tmpl_w = _sample_patches(prev, xy_prev, patch + 2, use_pallas)  # (K, P+2, P+2)
     tmpl = tmpl_w[:, 1:-1, 1:-1]
     gx = 0.5 * (tmpl_w[:, 1:-1, 2:] - tmpl_w[:, 1:-1, :-2])
     gy = 0.5 * (tmpl_w[:, 2:, 1:-1] - tmpl_w[:, :-2, 1:-1])
@@ -174,7 +196,9 @@ def _lk_level(prev, nxt, xy_prev, guess, patch: int, iters: int):
     # next-frame windows around the initial guess, wide enough for the
     # whole in-level search (_DISP px each way)
     win = patch + 2 * _DISP + 1
-    windows, anchor = _extract_windows(nxt, guess, win, _DISP + patch // 2)
+    windows, anchor = _extract_windows(
+        nxt, guess, win, _DISP + patch // 2, use_pallas
+    )
     hi = jax.lax.Precision.HIGHEST
 
     def sample(g):
@@ -205,7 +229,8 @@ def _lk_level(prev, nxt, xy_prev, guess, patch: int, iters: int):
     return guess, min_eig, resid
 
 
-def _lk_forward(prev_pyr, next_pyr, xy, patch: int, iters: int):
+def _lk_forward(prev_pyr, next_pyr, xy, patch: int, iters: int,
+                use_pallas: bool = False):
     """Coarse-to-fine LK through prebuilt pyramids; returns
     (xy_next, min_eig@level0, residual@level0)."""
     levels = len(prev_pyr)
@@ -215,7 +240,8 @@ def _lk_forward(prev_pyr, next_pyr, xy, patch: int, iters: int):
     for lvl in range(levels - 1, -1, -1):
         s = 2.0**lvl
         guess, min_eig, resid = _lk_level(
-            prev_pyr[lvl], next_pyr[lvl], xy / s, guess, patch, iters
+            prev_pyr[lvl], next_pyr[lvl], xy / s, guess, patch, iters,
+            use_pallas,
         )
         if lvl > 0:
             guess = guess * 2.0
@@ -224,7 +250,7 @@ def _lk_forward(prev_pyr, next_pyr, xy, patch: int, iters: int):
 
 @partial(
     jax.jit,
-    static_argnames=("levels", "patch", "iters", "fb_check"),
+    static_argnames=("levels", "patch", "iters", "fb_check", "use_pallas"),
 )
 def lk_track(
     img_prev: jax.Array,
@@ -240,6 +266,7 @@ def lk_track(
     fb_check: bool = True,
     fb_tol: float = 1.0,
     border: float = 2.0,
+    use_pallas: bool = False,
 ) -> FlowResult:
     """Track keypoints from ``img_prev`` to ``img_next``.
 
@@ -257,6 +284,8 @@ def lk_track(
         fraction of the template's own contrast (std) — contrast-invariant.
       fb_check: also track next->prev and reject round-trips > ``fb_tol`` px.
       border: reject tracks within this many pixels of the image edge.
+      use_pallas: batched-DMA window gathers (kernels/window_pallas.py) —
+        bitwise-identical tracks, ~an order of magnitude faster on chip.
 
     Returns:
       FlowResult with the same capacity K.
@@ -266,7 +295,9 @@ def lk_track(
     prev_pyr = build_pyramid(img_prev, levels)
     next_pyr = build_pyramid(img_next, levels)
 
-    new_xy, eig, resid = _lk_forward(prev_pyr, next_pyr, xy, patch, iters)
+    new_xy, eig, resid = _lk_forward(
+        prev_pyr, next_pyr, xy, patch, iters, use_pallas
+    )
 
     h, w = img_next.shape
     ok = (
@@ -280,7 +311,9 @@ def lk_track(
         & jnp.isfinite(new_xy).all(axis=-1)
     )
     if fb_check:
-        back_xy, _, _ = _lk_forward(next_pyr, prev_pyr, new_xy, patch, iters)
+        back_xy, _, _ = _lk_forward(
+            next_pyr, prev_pyr, new_xy, patch, iters, use_pallas
+        )
         ok = ok & (jnp.linalg.norm(back_xy - xy, axis=-1) < fb_tol)
 
     new_xy = jnp.where(ok[:, None], new_xy, xy)

@@ -176,3 +176,72 @@ def test_covariance_stays_finite_and_symmetric():
     assert np.all(np.isfinite(cov))
     np.testing.assert_allclose(cov, cov.T, atol=1e-5)
     assert np.all(np.linalg.eigvalsh(cov) > -1e-4)
+
+
+def test_structured_update_matches_dense_oracle():
+    """The structured Kalman algebra (H never materialized — ekf.update)
+    must equal the textbook dense-H Joseph update, computed here in fp64
+    NumPy, on a random well-conditioned joint state."""
+    from ptzjax.geometry import Intrinsics, project_jacobians, project_rays
+
+    cfg = SLAMConfig(max_rays=24, sigma_obs=1.0, min_inliers=2,
+                     innovation_gate_px=1e6, gate_maha2=1e9)
+    n = cfg.max_rays
+    d = 6 + 2 * n
+    intr = Intrinsics.create(640.0, 360.0)
+    rng = np.random.default_rng(0)
+
+    state = ekf.init_state(np.array([0.1, -0.05, 2000.0], np.float32), cfg)
+    rays = np.stack(
+        [rng.uniform(0.0, 0.2, n), rng.uniform(-0.15, 0.0, n)], -1
+    ).astype(np.float32)
+    a = rng.normal(size=(d, d)).astype(np.float32) * 0.01
+    cov = a @ a.T + np.diag(rng.uniform(0.3, 1.0, d)).astype(np.float32)
+    cov = (0.5 * (cov + cov.T)).astype(np.float32)
+    active = np.ones((n,), bool)
+    active[-3:] = False
+    state = state._replace(
+        rays=jnp.asarray(rays), cov=jnp.asarray(cov),
+        active=jnp.asarray(active),
+        ray_ids=jnp.where(jnp.asarray(active), jnp.arange(n), -1),
+    )
+    pred = np.asarray(project_rays(state.pose, state.rays, intr))
+    obs = (pred + rng.normal(0, 1.0, pred.shape)).astype(np.float32)
+    obs_mask = np.ones((n,), bool)
+    obs_mask[0] = False
+
+    new, stats = ekf.update(
+        state, jnp.asarray(obs), jnp.asarray(obs_mask), intr, cfg
+    )
+    used = np.asarray(stats.used_mask)
+    assert used.sum() >= n - 5
+
+    # fp64 dense-H oracle with the SAME gate decisions
+    _, j_cam, j_ray = project_jacobians(state.pose, state.rays, intr)
+    jc = np.asarray(j_cam, np.float64) * used[:, None, None]
+    jr = np.asarray(j_ray, np.float64) * used[:, None, None]
+    h = np.zeros((2 * n, d))
+    for i in range(n):
+        h[2 * i : 2 * i + 2, 0:3] = jc[i]
+        h[2 * i : 2 * i + 2, 6 + 2 * i : 8 + 2 * i] = jr[i]
+    p = np.asarray(cov, np.float64)
+    r = np.eye(2 * n) * cfg.sigma_obs**2
+    innov = np.where(used[:, None], obs - pred, 0.0).reshape(-1)
+    s = h @ p @ h.T + r
+    k = p @ h.T @ np.linalg.inv(s)
+    dx = k @ innov
+    ikh = np.eye(d) - k @ h
+    cov_ref = ikh @ p @ ikh.T + k @ r @ k.T
+
+    np.testing.assert_allclose(
+        np.asarray(new.cam[:3]),
+        np.asarray(state.cam[:3], np.float64) + dx[:3],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new.rays), rays + dx[6:].reshape(n, 2),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new.cov), cov_ref, rtol=2e-3, atol=2e-4
+    )

@@ -136,3 +136,37 @@ def test_flat_region_rejected_by_texturedness():
     xy = np.array([[64.0, 48.0]], np.float32)
     res = lk_track(img0, img1, xy, np.array([True]))
     assert not bool(np.asarray(res.tracked)[0])
+
+
+def test_lk_pallas_gather_bitwise_matches_jax():
+    """use_pallas=True routes the window gathers through the batched-DMA
+    kernel; tracks must be BITWISE identical to the XLA gather path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptzjax import synth
+    from ptzjax.geometry import Intrinsics
+    from ptzjax.kernels.flow import lk_track
+
+    pano = synth.make_panorama(
+        theta_range=(-0.5, 0.5), phi_range=(-0.3, 0.18),
+        texels_per_rad=1800.0, seed=9,
+    )
+    intr = Intrinsics.create(320.0, 180.0)
+    cam0 = np.array([0.02, -0.04, 900.0], np.float32)
+    cam1 = cam0 + np.array([0.004, -0.001, 3.0], np.float32)
+    img0 = jnp.asarray(synth.render_image(pano, cam0, intr, 640, 360))
+    img1 = jnp.asarray(synth.render_image(pano, cam1, intr, 640, 360))
+    rng = np.random.default_rng(0)
+    xy = jnp.asarray(
+        np.stack([rng.uniform(20, 620, 96), rng.uniform(20, 340, 96)], -1),
+        jnp.float32,
+    )
+    valid = jnp.ones((96,), bool)
+    a = lk_track(img0, img1, xy, valid)
+    b = lk_track(img0, img1, xy, valid, use_pallas=True)
+    assert int(a.tracked.sum()) > 48
+    np.testing.assert_array_equal(np.asarray(a.xy), np.asarray(b.xy))
+    np.testing.assert_array_equal(
+        np.asarray(a.tracked), np.asarray(b.tracked)
+    )
