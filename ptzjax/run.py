@@ -39,6 +39,12 @@ def _parse() -> argparse.Namespace:
     p.add_argument("--out", type=str, required=True, help="output directory")
     p.add_argument("--ba", action="store_true", help="final bundle adjustment")
     p.add_argument(
+        "--ba-huber", type=float, default=None,
+        help="Huber kernel width (px) for robust IRLS bundle adjustment "
+             "(ba.run_robust); overrides cfg.ba_huber_px. 0 = pure "
+             "quadratic. Use ~3 when matches may contain outliers",
+    )
+    p.add_argument(
         "--klt", action="store_true",
         help="image modes: carry keypoints between frames with pyramidal LK "
              "optical flow (detect only to refill) instead of re-detecting "
@@ -147,6 +153,8 @@ def main() -> None:
     cfg = cfg.replace(
         image_width=args.width, image_height=args.height, reloc_mode=args.reloc
     )
+    if args.ba_huber is not None:
+        cfg = cfg.replace(ba_huber_px=float(args.ba_huber))
 
     # --- assemble (features, gt, intr) per mode -----------------------------
     gt = None
