@@ -55,15 +55,29 @@ def _smooth5(v: jax.Array) -> jax.Array:
 
 
 def _kernel(img_hbm, resp_ref, sup_ref, slab, sem, *, tile_rows, k):
+    """Double-buffered: program i waits on the copy program i-1 started for
+    it (program 0 starts its own), and prefetches tile i+1 into the other
+    slab before computing — DMA rides under the VPU work instead of
+    serializing ahead of it."""
     i = pl.program_id(0)
-    pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * tile_rows, tile_rows + 2 * HALO), :], slab, sem
-    ).start()
-    pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * tile_rows, tile_rows + 2 * HALO), :], slab, sem
-    ).wait()
+    n = pl.num_programs(0)
+    cur = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
 
-    a = slab[:]
+    def src(j):
+        return img_hbm.at[pl.ds(j * tile_rows, tile_rows + 2 * HALO), :]
+
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(src(0), slab.at[0], sem.at[0]).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        pltpu.make_async_copy(src(i + 1), slab.at[nxt], sem.at[nxt]).start()
+
+    pltpu.make_async_copy(src(i), slab.at[cur], sem.at[cur]).wait()
+
+    a = slab[cur]
     ix = 0.5 * (_shift(a, 0, 1) - _shift(a, 0, -1))
     iy = 0.5 * (_shift(a, 1, 0) - _shift(a, -1, 0))
     ixx = _smooth5(ix * ix)
@@ -129,8 +143,8 @@ def harris_nms_pallas(
         ),
         out_shape=(out_shape, out_shape),
         scratch_shapes=[
-            pltpu.VMEM((TILE_ROWS + 2 * HALO, cols_p), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, TILE_ROWS + 2 * HALO, cols_p), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=60 * h * w, bytes_accessed=12 * h * w, transcendentals=0
