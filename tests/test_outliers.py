@@ -3,6 +3,7 @@
 a real fraction of observations are garbage — teleported matches in BA,
 and outlier keypoints feeding the full SLAM loop end-to-end."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,6 +104,35 @@ def test_slam_long_run_with_outliers_and_dropouts():
     pose = np.stack([r["pose"] for r in recs])
     pan_err = np.abs(pose[:, 0] - seq.cameras[1:, 0])
     assert pan_err.mean() < 3e-3, pan_err.mean()
+
+    # keyframe ASSOCIATION PURITY under outlier pressure: project each
+    # keyframe's associated map rays through the GT pose of that frame —
+    # an aliasing match (keypoint linked to the wrong ray) shows up as a
+    # large reprojection error in the keyframe table itself, upstream of
+    # BA (VERDICT r2 weak #6)
+    from ptzjax.geometry import project_rays
+
+    kf = jax.device_get(state.kf)
+    rays_store = np.asarray(jax.device_get(state.rays.rays))
+    purity_errs = []
+    for i in range(kf.poses.shape[0]):
+        if not kf.valid[i]:
+            continue
+        fv = kf.feat_valid[i] & (kf.ray_ids[i] >= 0)
+        if fv.sum() < 5:
+            continue
+        gt_pose = seq.cameras[int(kf.frame_idx[i])]
+        proj = np.asarray(project_rays(
+            jnp.asarray(gt_pose), jnp.asarray(rays_store[kf.ray_ids[i][fv]]),
+            seq.intr,
+        ))
+        purity_errs.append(np.linalg.norm(proj - kf.xy[i][fv], axis=-1))
+    err = np.concatenate(purity_errs)
+    # the noise floor is ~0.5 px obs noise + map-ray estimation error; an
+    # aliased association would sit tens of px off. Demand a clean bulk
+    # and a small polluted tail.
+    assert np.median(err) < 3.0, np.median(err)
+    assert (err > 10.0).mean() < 0.05, (err > 10.0).mean()
 
     # the offline robust BA at the end must not degrade keyframe poses —
     # and the keyframe association tables (built under outlier pressure)
