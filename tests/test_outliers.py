@@ -68,23 +68,34 @@ def test_robust_ba_noop_on_clean_problem():
     )
 
 
-def test_slam_long_run_with_outliers_and_dropouts():
-    """Full SLAM loop over 150 frames with 12% outlier keypoints + 5%
-    dropouts: tracking holds, keyframes accumulate, and the final robust
-    BA still improves the map (VERDICT r2 item 8 'Done' criterion)."""
-    frames = 150
+def _slam_outlier_run(
+    frames, noise_px, sigma_obs, outlier_frac, *, max_lost, pan_tol,
+    purity_med, purity_tail_px, final_pan_tol, seed=21, min_kf=3,
+):
+    """Full SLAM loop under noise/outlier pressure: tracking holds,
+    keyframe association stays pure, and the final robust BA improves the
+    map (VERDICT r2 item 8; extended across sigma_obs per VERDICT r3 item 4
+    — the association constants now live in SLAMConfig and must hold at
+    sigma 1-3 px with the DEFAULT values, no retuning)."""
     cfg = SLAMConfig(
         max_rays=96, max_keypoints=192, max_map_rays=2048, max_keyframes=24,
-        kf_desc_dim=128, sigma_obs=1.0, ba_huber_px=3.0, ba_irls_rounds=2,
+        kf_desc_dim=128, sigma_obs=sigma_obs, ba_huber_px=3.0,
+        ba_irls_rounds=2,
     )
+    # hold PER-FRAME motion constant across sequence lengths (amplitudes
+    # scale with the period): the sweep probes sigma_obs sensitivity of the
+    # association constants, not the cold-start velocity capture range
+    # (which is a separate, documented function of track_gate_px)
+    sc = frames / 150.0
     seq = synth.make_sequence(
-        num_frames=frames, num_rays=2200, pan_amp=0.45, tilt_amp=0.03,
-        f_amp=350.0, period=frames * 1.1, seed=21,
+        num_frames=frames, num_rays=2200, pan_amp=0.45 * sc,
+        tilt_amp=0.03 * sc, f_amp=350.0 * sc, period=frames * 1.1,
+        seed=seed,
     )
     feats = [
         synth_features(
-            seq, k, cfg.max_keypoints, noise_px=0.5,
-            outlier_frac=0.12, dropout_frac=0.05, seed=21,
+            seq, k, cfg.max_keypoints, noise_px=noise_px,
+            outlier_frac=outlier_frac, dropout_frac=0.05, seed=seed,
         )[0]
         for k in range(frames)
     ]
@@ -98,12 +109,12 @@ def test_slam_long_run_with_outliers_and_dropouts():
     recs = infos_to_dicts(infos)
 
     lost = [r["frame"] for r in recs if r["lost"]]
-    assert len(lost) <= 3, f"lost {len(lost)} frames: {lost[:10]}"
-    assert int(state.kf.count) >= 3
+    assert len(lost) <= max_lost, f"lost {len(lost)} frames: {lost[:10]}"
+    assert int(state.kf.count) >= min_kf
 
     pose = np.stack([r["pose"] for r in recs])
     pan_err = np.abs(pose[:, 0] - seq.cameras[1:, 0])
-    assert pan_err.mean() < 3e-3, pan_err.mean()
+    assert pan_err.mean() < pan_tol, pan_err.mean()
 
     # keyframe ASSOCIATION PURITY under outlier pressure: project each
     # keyframe's associated map rays through the GT pose of that frame —
@@ -128,11 +139,11 @@ def test_slam_long_run_with_outliers_and_dropouts():
         ))
         purity_errs.append(np.linalg.norm(proj - kf.xy[i][fv], axis=-1))
     err = np.concatenate(purity_errs)
-    # the noise floor is ~0.5 px obs noise + map-ray estimation error; an
+    # the noise floor is ~noise_px obs noise + map-ray estimation error; an
     # aliased association would sit tens of px off. Demand a clean bulk
     # and a small polluted tail.
-    assert np.median(err) < 3.0, np.median(err)
-    assert (err > 10.0).mean() < 0.05, (err > 10.0).mean()
+    assert np.median(err) < purity_med, np.median(err)
+    assert (err > purity_tail_px).mean() < 0.05, (err > purity_tail_px).mean()
 
     # the offline robust BA at the end must not degrade keyframe poses —
     # and the keyframe association tables (built under outlier pressure)
@@ -146,4 +157,35 @@ def test_slam_long_run_with_outliers_and_dropouts():
     err_pre = np.abs(pre[kf_valid, 0] - gt_kf[kf_valid, 0]).mean()
     err_post = np.abs(post[kf_valid, 0] - gt_kf[kf_valid, 0]).mean()
     assert err_post <= err_pre * 1.5 + 1e-4, (err_pre, err_post)
-    assert err_post < 2e-3, err_post
+    assert err_post < final_pan_tol, err_post
+
+
+def test_slam_long_run_with_outliers_and_dropouts():
+    """150 frames, sigma 1 px, 12% outliers + 5% dropouts (the r2 'Done'
+    criterion run)."""
+    _slam_outlier_run(
+        150, noise_px=0.5, sigma_obs=1.0, outlier_frac=0.12,
+        max_lost=3, pan_tol=3e-3, purity_med=3.0, purity_tail_px=10.0,
+        final_pan_tol=2e-3,
+    )
+
+
+def test_slam_outlier_purity_sigma2():
+    """sigma_obs = 2 px + 20% outliers: the DEFAULT association constants
+    (track_ratio/kf_ratio/kf_gate) must hold without retuning (VERDICT r3
+    item 4). Tolerances scale with the noise floor (~2 px vs ~0.5 px)."""
+    _slam_outlier_run(
+        100, noise_px=2.0, sigma_obs=2.0, outlier_frac=0.20,
+        max_lost=4, pan_tol=6e-3, purity_med=7.0, purity_tail_px=20.0,
+        final_pan_tol=5e-3, seed=33, min_kf=2,
+    )
+
+
+def test_slam_outlier_purity_sigma3():
+    """sigma_obs = 3 px + 20% outliers: upper end of broadcast keypoint
+    noise; same default constants."""
+    _slam_outlier_run(
+        100, noise_px=3.0, sigma_obs=3.0, outlier_frac=0.20,
+        max_lost=5, pan_tol=9e-3, purity_med=10.0, purity_tail_px=28.0,
+        final_pan_tol=7e-3, seed=34, min_kf=2,
+    )
