@@ -45,6 +45,13 @@ class SLAMConfig:
     track_ratio: float = 0.95         # gated re-match ratio on the frame path
                                       # (looser than ratio_test: the pixel
                                       # gate already removes most confusers)
+    track_consensus: bool = True      # pan-tilt RANSAC consensus pre-gate on
+                                      # tracking matches: rejects spatially
+                                      # coherent wrong-motion groups (moving
+                                      # players) that per-slot gates admit
+                                      # one by one (VERDICT r3 item 3)
+    track_consensus_px: float = -1.0  # consensus inlier radius; -1 = AUTO
+                                      # (3 * sigma_obs + 5 px)
     kf_ratio: float = 0.95            # keyframe association re-match ratio
     kf_gate_sigma: float = 3.0        # keyframe gate = kf_gate_sigma *
     kf_gate_base_px: float = 5.0      #   sigma_obs + kf_gate_base_px (px)
@@ -74,6 +81,13 @@ class SLAMConfig:
     innovation_gate_px: float = 50.0  # absolute innovation ceiling (outliers)
     track_gate_px: float = 60.0       # association search radius (tracking)
     max_missed: int = 10              # frames unobserved before a slot is freed
+    max_rejected: int = 3             # frames MATCHED-but-gate-rejected before
+                                      # a slot is freed: rejection is positive
+                                      # wrong-motion evidence (a mover), unlike
+                                      # mere absence (occlusion), so it burns
+                                      # the missed budget max_missed/max_rejected
+                                      # times faster (VERDICT r3 item 3 —
+                                      # mover slots must not crowd out statics)
 
     # --- keyframes / map ---
     max_keyframes: int = 64

@@ -251,6 +251,10 @@ def run_sharded(
     )
     def _run(cams, rays, obs_pix, obs_cam, obs_w, cam_free):
         local = BAProblem(cams, rays, obs_pix, obs_cam, obs_w, cam_free)
+        if cfg.ba_huber_px > 0:
+            # robust IRLS sharded the same way (ba.run_robust psums the
+            # reweighted normal terms over the mesh axes per round)
+            return balib.run_robust(local, intr, cfg, axis_name=axes)
         return balib.run(local, intr, cfg, axis_name=axes)
 
     return jax.jit(_run)(

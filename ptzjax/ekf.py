@@ -46,6 +46,12 @@ class EKFState(NamedTuple):
       cov: (D, D) joint covariance.
       active: (N,) bool slot validity.
       missed: (N,) int32 consecutive frames without an observation.
+      rej: (N,) int32 consecutive frames whose MATCHED observation failed
+        the motion-consensus gate — positive wrong-motion evidence (a
+        moving object claimed this slot), unlike mere absence. Reset by any
+        non-rejected frame; reaching cfg.max_rejected retires the slot
+        (i.i.d. outliers practically never string 3 consecutive
+        rejections; movers do so immediately).
       ray_ids: (N,) int32 global map ray id per slot (-1 = empty).
     """
 
@@ -54,6 +60,7 @@ class EKFState(NamedTuple):
     cov: jax.Array
     active: jax.Array
     missed: jax.Array
+    rej: jax.Array
     ray_ids: jax.Array
 
     @property
@@ -90,6 +97,7 @@ def init_state(pose: jax.Array, cfg: SLAMConfig) -> EKFState:
         cov=p0 * diag,
         active=jnp.zeros((n,), bool),
         missed=jnp.zeros((n,), jnp.int32),
+        rej=jnp.zeros((n,), jnp.int32),
         ray_ids=jnp.full((n,), -1, jnp.int32),
     )
 
@@ -275,7 +283,9 @@ def update(
 
 def retire_lost(state: EKFState, cfg: SLAMConfig) -> EKFState:
     """Free slots unobserved for too long (reference: ray deletion, §4.2)."""
-    drop = state.active & (state.missed > cfg.max_missed)
+    drop = state.active & (
+        (state.missed > cfg.max_missed) | (state.rej >= cfg.max_rejected)
+    )
     return _clear_slots(state, drop)
 
 
@@ -289,7 +299,11 @@ def _clear_slots(state: EKFState, drop: jax.Array) -> EKFState:
     full = jnp.concatenate([jnp.zeros((6,), bool), slot_rows])
     cov = jnp.where(full[:, None] | full[None, :], 0.0, state.cov)
     cov = cov + jnp.diag(jnp.where(full, 1.0, 0.0))
-    return state._replace(active=active, ray_ids=ray_ids, cov=cov, missed=jnp.where(keep, state.missed, 0))
+    return state._replace(
+        active=active, ray_ids=ray_ids, cov=cov,
+        missed=jnp.where(keep, state.missed, 0),
+        rej=jnp.where(keep, state.rej, 0),
+    )
 
 
 class SlotClaim(NamedTuple):
@@ -381,6 +395,7 @@ def insert_rays(
     active = state.active | sel
     ray_ids = jnp.where(sel, cand_ids[safe], state.ray_ids)
     missed = jnp.where(sel, 0, state.missed)
+    rej = jnp.where(sel, 0, state.rej)
 
     # --- covariance augmentation (slot-major, scatter-free) ---
     zero2 = sel[:, None, None].astype(jnp.float32)
@@ -417,7 +432,8 @@ def insert_rays(
     cov = jnp.where(full[:, None] & full[None, :], blocks_full, cov)
 
     return state._replace(
-        rays=rays, active=active, ray_ids=ray_ids, missed=missed, cov=cov
+        rays=rays, active=active, ray_ids=ray_ids, missed=missed, rej=rej,
+        cov=cov
     )
 
 

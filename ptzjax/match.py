@@ -173,6 +173,94 @@ def ransac_pan_tilt(
     return inl[best]
 
 
+def consensus_pan_tilt(
+    rays: jax.Array,
+    xy: jax.Array,
+    ok: jax.Array,
+    focal: jax.Array,
+    cx: float,
+    cy: float,
+    inlier_px: float = 6.0,
+    focal_correct: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Exhaustive pan-tilt consensus: EVERY candidate match votes.
+
+    Deterministic, sampling-free variant of ``ransac_pan_tilt`` for the
+    per-frame tracking pre-gate (VERDICT r3 item 3): with Q <= 512 the full
+    (Q, Q) hypothesis-vs-match table is one cheap batched computation, so
+    there is no reason to subsample hypotheses (a fixed-key subsample
+    collapses onto few distinct votes when the ok-density is low).
+
+    ``focal_correct`` makes the score robust to a focal-estimate bias: a
+    wrong focal spreads static-scene residuals RADIALLY (d pred / d f =
+    [tan(du), -tan(dv)/cos(du)] — exactly the normalized image offset), so
+    each hypothesis fits the 1-D focal correction ``df`` in closed form
+    over its coarse inliers and scores with it removed. The focal is
+    weakly observable for narrow-FOV rotation (f and angular scale are
+    near-gauge), so a 0.5-1% persistent bias is the EXPECTED filter state
+    — an uncorrected 6 px consensus slowly rejects the wide-field statics
+    and starves. Wrong-motion clusters gain nothing: their residuals are
+    not radial.
+
+    Returns:
+      (inlier_mask (Q,), best_count ()): matches consistent with the
+      winning single-match (pan, tilt) vote, and the winner's support.
+      Callers should fall back to per-match gating when ``best_count`` is
+      not a clear majority — a split consensus must not starve the filter.
+    """
+    u = jnp.arctan2(xy[:, 0] - cx, focal)
+    pan_i = rays[:, 0] - u
+    tilt_i = rays[:, 1] - jnp.arctan2(-(xy[:, 1] - cy) * jnp.cos(u), focal)
+
+    du = rays[None, :, 0] - pan_i[:, None]                   # (Q, Q)
+    dv = rays[None, :, 1] - tilt_i[:, None]
+    tx = jnp.tan(du)
+    ty = -jnp.tan(dv) / jnp.cos(du)
+    ex = xy[None, :, 0] - (focal * tx + cx)
+    ey = xy[None, :, 1] - (focal * ty + cy)
+    if focal_correct:
+        err2 = ex * ex + ey * ey
+        coarse = ok[None, :] & (err2 < 9.0 * inlier_px * inlier_px)
+        num = jnp.sum(jnp.where(coarse, tx * ex + ty * ey, 0.0), axis=1)
+        den = jnp.sum(jnp.where(coarse, tx * tx + ty * ty, 0.0), axis=1)
+        df = num / jnp.maximum(den, 1e-6)                    # (Q,)
+        ex = ex - df[:, None] * tx
+        ey = ey - df[:, None] * ty
+    err2 = ex * ex + ey * ey
+    inl = ok[None, :] & (err2 < inlier_px * inlier_px)       # (Q, Q)
+    counts = jnp.where(ok, inl.sum(axis=1), -1)              # invalid: -1
+    best = jnp.argmax(counts)
+
+    # refit-and-rescore: the winning hypothesis carries its OWN observation
+    # noise (~2 sigma common-mode) plus its slot-ray estimation error, which
+    # against a ~2 inlier_px gate falsely rejects a quarter of the statics.
+    # One least-squares (pan, tilt, focal) correction over the winner's
+    # inliers (small-angle basis: dpx/dpan ~ -f, dpy/dtilt ~ f, d/df =
+    # (tx, ty); second-order terms < 10% inside a +-0.3 rad half-FOV)
+    # removes it — standard RANSAC refinement, all closed-form.
+    w = inl[best].astype(jnp.float32)
+    bx, by = ex[best], ey[best]
+    btx, bty = tx[best], ty[best]
+    nw = jnp.maximum(w.sum(), 1.0)
+    # normal equations for [d_pan_px, d_tilt_px, d_f] with orthogonalized
+    # pan/tilt (their bases are disjoint axes); focal couples to both
+    a11 = nw                      # sum w * 1 (x-axis)
+    a22 = nw                      # (y-axis)
+    a13 = jnp.sum(w * btx)
+    a23 = jnp.sum(w * bty)
+    a33 = jnp.sum(w * (btx * btx + bty * bty)) + 1e-6
+    b1 = jnp.sum(w * bx)
+    b2 = jnp.sum(w * by)
+    b3 = jnp.sum(w * (btx * bx + bty * by))
+    A = jnp.array([[a11, 0.0, a13], [0.0, a22, a23], [a13, a23, a33]])
+    rhs = jnp.array([b1, b2, b3])
+    sol = jnp.linalg.solve(A + 1e-6 * jnp.eye(3), rhs)
+    rx = bx - sol[0] - sol[2] * btx
+    ry = by - sol[1] - sol[2] * bty
+    refined = ok & (rx * rx + ry * ry < inlier_px * inlier_px)
+    return refined, refined.sum()
+
+
 def scatter_to_slots(
     result: MatchResult,
     xy_query: jax.Array,

@@ -324,10 +324,55 @@ def _track_frame(
         desc, xy, state.slot_desc, pred_pix, valid, slot_visible,
         gate_px=cfg.track_gate_px, ratio=cfg.track_ratio,
     )
+    if cfg.track_consensus:
+        # pan-tilt consensus pre-gate (VERDICT r3 item 3): per-slot gates
+        # admit a coherent wrong-motion group (players) one feature at a
+        # time; a single-match (pan, tilt) vote scored against ALL matches
+        # keeps only the camera-motion-consistent majority. Static scene
+        # features dominate in any trackable frame, so the consensus set is
+        # the background even when >20% of pixels belong to movers. Applied
+        # only when the winner is a CLEAR majority of the matches — a split
+        # consensus (focal error spreads static votes radially) falls back
+        # to per-slot EKF gating instead of starving the filter.
+        px = (
+            cfg.track_consensus_px
+            if cfg.track_consensus_px > 0
+            else 3.0 * cfg.sigma_obs + 5.0
+        )
+        inl, best_count = matchlib.consensus_pan_tilt(
+            ekf_state.rays[m.idx], xy, m.ok, pose[2], intr.cx, intr.cy,
+            inlier_px=px,
+        )
+        dominant = best_count * 2 >= m.ok.sum()
+        matched_any = m.ok  # pre-consensus: still a SLOT's observation
+        m = m._replace(ok=jnp.where(dominant, inl, m.ok))
+        # consensus rejection is WRONG-MOTION evidence (the match exists
+        # and is confident; its motion disagrees with the camera majority)
+        consensus_rej = matched_any & ~m.ok
+    else:
+        matched_any = m.ok
+        consensus_rej = jnp.zeros_like(m.ok)
     obs, obs_mask = matchlib.scatter_to_slots(m, xy, ekf_state.capacity)
 
     # 4. joint EKF update + slot lifecycle
     ekf_state, stats = ekflib.update(ekf_state, obs, obs_mask, intr, cfg)
+    # a slot whose observation failed the CONSENSUS gate carries positive
+    # wrong-motion evidence (a mover, or corrupted): count CONSECUTIVE
+    # consensus rejections per slot and retire at cfg.max_rejected, so junk
+    # slots can't crowd out statics in the bounded table (the mover-stress
+    # death mode: static matches starve as mover slots churn through
+    # capacity). Strict consecutiveness keeps i.i.d. outliers harmless
+    # (p^3 per slot-frame), and EKF-maha rejections deliberately do NOT
+    # count: a chi2(0.99) gate falsely rejects ~1% of good observations
+    # per frame, and fast-retiring those measurably degrades the map under
+    # plain i.i.d. outliers (r4 sigma-1 regression).
+    n = ekf_state.capacity
+    rejected = jnp.zeros((n,), bool).at[
+        jnp.where(consensus_rej, m.idx, n)
+    ].set(True, mode="drop") & ekf_state.active
+    ekf_state = ekf_state._replace(
+        rej=jnp.where(rejected, ekf_state.rej + 1, 0)
+    )
     ekf_state = ekflib.retire_lost(ekf_state, cfg)
     state = state._replace(ekf=ekf_state)
 
@@ -372,8 +417,12 @@ def _track_frame(
         )
     )
 
-    # 5. grow: unmatched fresh keypoints become new rays (only when healthy)
-    fresh = valid & ~m.ok & ~stats.lost
+    # 5. grow: unmatched fresh keypoints become new rays (only when healthy).
+    # A consensus-REJECTED match is not fresh: it already has a slot (the
+    # rejection says its motion is wrong, not that it is unseen) — re-
+    # inserting it every frame would churn duplicate rays through the
+    # bounded slot table and crowd out durable statics
+    fresh = valid & ~matched_any & ~stats.lost
     state, _ = _grow_map(state, xy, desc, fresh, cfg=cfg, intr=intr)
 
     max_ov = mapstore.max_overlap_with_keyframes(
