@@ -84,6 +84,19 @@ def _parse() -> argparse.Namespace:
              "end (device->host transfers degrade dispatch latency on "
              "tunneled TPU backends)",
     )
+    p.add_argument(
+        "--offline", action="store_true",
+        help="offline execution mode (SURVEY.md §3): frame-parallel feature "
+             "extraction over the device mesh (dist.extract_features_sharded), "
+             "sequential tracking scan, then SHARDED bundle adjustment over "
+             "the mesh (robust when --ba-huber > 0). Emits the standard "
+             "artifacts plus ba_cost_before/after in summary.json",
+    )
+    p.add_argument(
+        "--mesh-devices", type=int, default=0,
+        help="--offline: devices in the 1-D mesh (0 = all visible; test on "
+             "CPU with XLA_FLAGS=--xla_force_host_platform_device_count=8)",
+    )
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument(
         "--resume", type=str, default=None,
@@ -221,6 +234,14 @@ def main() -> None:
         feats = _stage_image_features(args, cfg, imgs_all, masks_all)
 
     # --- run ------------------------------------------------------------------
+    if args.offline:
+        _run_offline(
+            args, cfg, intr,
+            imgs_all if feats is None else None,
+            masks_all if feats is None else None,
+            feats, gt,
+        )
+        return
     if args.tracker == "homography":
         _run_homography_baseline(args, cfg, intr, feats, gt)
         return
@@ -544,6 +565,125 @@ def _make_frontend(args, cfg):
         return xy, desc, valid
 
     return extract, track
+
+
+def _run_offline(args, cfg, intr, imgs_all, masks_all, feats, gt) -> None:
+    """Offline execution mode (SURVEY.md §3; VERDICT r3 item 5): the
+    library pipeline tests/test_dist.py exercises, as a product surface.
+
+    1. Frame-parallel feature extraction over a 1-D device mesh
+       (``dist.extract_features_sharded``) — shard-count invariant, so the
+       tables equal the online frontend's bit for bit.
+    2. Sequential tracking scan (state is inherently sequential) building
+       the keyframe/map stores.
+    3. SHARDED bundle adjustment over the mesh (one psum per LM iteration;
+       Huber-IRLS when cfg.ba_huber_px > 0), refined poses written back.
+
+    Artifacts match the online path (frames.jsonl, trajectory.npz,
+    summary.json) plus ba_cost_before/after and mesh metadata.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptzjax import dist, mapstore
+    from ptzjax import eval as evallib
+    from ptzjax import io as iolib
+    from ptzjax.slam import PTZSlam, infos_to_dicts
+
+    mesh = dist.make_mesh(args.mesh_devices or None)
+    t0 = time.perf_counter()
+    if feats is None:
+        use_pallas = jax.default_backend() == "tpu"
+        n = len(imgs_all)
+        xy_all, desc_all, valid_all = dist.extract_features_sharded(
+            imgs_all, cfg, mesh,
+            masks=None if masks_all is None else jnp.asarray(masks_all),
+            focals=np.asarray(gt[:n, 2], np.float32),
+            use_pallas=use_pallas,
+        )
+        xy_all = np.asarray(xy_all)
+        desc_all = np.asarray(desc_all)
+        valid_all = np.asarray(valid_all)
+    else:
+        xy_all = np.stack([np.asarray(f[0]) for f in feats])
+        desc_all = np.stack([np.asarray(f[1]) for f in feats])
+        valid_all = np.stack([np.asarray(f[2]) for f in feats])
+    t_frontend = time.perf_counter() - t0
+
+    slam = PTZSlam(cfg, intr)
+    state = slam.init(xy_all[0], desc_all[0], valid_all[0], gt[0])
+    total = len(xy_all)
+    chunk = max(1, args.chunk)
+    records = []
+    k = 1
+    t1 = time.perf_counter()
+    while k < total:
+        end = min(k + chunk, total)
+        pad = chunk - (end - k)
+        ok = np.arange(chunk) < (end - k)
+
+        def _p(a):
+            return (
+                np.concatenate([a[k:end], np.repeat(a[end - 1 : end], pad, 0)])
+                if pad
+                else a[k:end]
+            )
+
+        state, infos = slam.run_segment(
+            state, _p(xy_all), _p(desc_all), _p(valid_all), ok
+        )
+        records.extend(infos_to_dicts(infos, frame0=k)[: end - k])
+        k = end
+    t_track = time.perf_counter() - t1
+
+    # sharded BA over the final map; refined poses/rays written back
+    t2 = time.perf_counter()
+    prob = mapstore.build_ba_problem(
+        state.kf, state.rays, max_views_per_ray=cfg.ba_max_views_per_ray
+    )
+    res = dist.run_sharded(prob, intr, cfg, mesh)
+    m = prob.rays.shape[0]
+    kf, rays = mapstore.apply_ba_result(
+        state.kf, state.rays, res.cams, res.rays[:m], prob.obs_w
+    )
+    state = state._replace(kf=kf, rays=rays)
+    jax.block_until_ready(state.kf.poses)
+    t_ba = time.perf_counter() - t2
+
+    iolib.write_trajectory_jsonl(os.path.join(args.out, "frames.jsonl"), records)
+    pose = np.stack([r["pose"] for r in records])
+    fidx = np.array([r["frame"] for r in records])
+    gt_r = gt[fidx]
+    np.savez(os.path.join(args.out, "trajectory.npz"), pose=pose, gt=gt_r)
+    summary = {
+        **evallib.trajectory_errors(pose, gt_r).as_dict(),
+        "reprojection_rmse_px": evallib.reprojection_rmse(
+            pose, gt_r, intr, args.width, args.height
+        ),
+        "fps": (total - 1) / (t_frontend + t_track),
+        "frames_lost": sum(r["lost"] for r in records),
+        "keyframes": sum(r["keyframe"] for r in records),
+        "mode": "offline",
+        "mesh_devices": int(mesh.devices.size),
+        "frontend_s": t_frontend,
+        "tracking_s": t_track,
+        "ba_s": t_ba,
+        "ba_cost_before": float(res.initial_cost),
+        "ba_cost_after": float(res.cost),
+        "ba_robust": cfg.ba_huber_px > 0,
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    if args.plot:
+        from ptzjax.plots import plot_run
+
+        plot_run(
+            pose, gt_r, os.path.join(args.out, "trajectory.png"),
+            records=records,
+            title=f"{os.path.basename(args.out.rstrip('/'))} (offline)",
+        )
+    print(json.dumps(summary, indent=2))
 
 
 def _run_homography_baseline(args, cfg, intr, feats, gt) -> None:
