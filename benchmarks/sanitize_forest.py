@@ -127,6 +127,59 @@ def main() -> None:
         print(f"ok dim={dim} kf={n_kf}x{kf_size} trees={trees} depth={depth}",
               flush=True)
 
+    # --- async training (native background thread) -----------------------
+    # exercises: set_async, concurrent add while a build is in flight,
+    # queries against the served tree set during a build, wait, save (which
+    # joins), and destroy with a build potentially in flight. Run under
+    # TSan (make TSAN=1) as well as ASan/UBSan/LSan.
+    lib.rf_set_async.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.rf_training.restype = ctypes.c_int
+    lib.rf_training.argtypes = [ctypes.c_void_p]
+    lib.rf_wait.argtypes = [ctypes.c_void_p]
+
+    dim = 64
+    h = lib.rf_create(8, 16, 4, 16, 8, 8, 17)
+    lib.rf_set_async(h, 1)
+    q = 32
+    qd = rng.normal(size=(q, dim)).astype(np.float32)
+    qd /= np.maximum(np.linalg.norm(qd, axis=-1, keepdims=True), 1e-9)
+    out_rays = np.zeros((q, 2), np.float32)
+    out_conf = np.zeros((q,), np.float32)
+    for batch in (500, 2000, 3000, 4000):
+        desc = rng.normal(size=(batch, dim)).astype(np.float32)
+        desc /= np.maximum(np.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
+        rays = rng.uniform(-0.5, 0.5, (batch, 2)).astype(np.float32)
+        rc = lib.rf_add_keyframe(
+            h, ptr(np.ascontiguousarray(desc)),
+            ptr(np.ascontiguousarray(rays)), batch, dim,
+        )
+        assert rc == 0
+        # query immediately: must serve the previous tree set (or report
+        # untrained before the FIRST build lands) without racing the build
+        rc = lib.rf_relocalize(
+            h, ptr(np.ascontiguousarray(qd)), q, dim, ptr(out_rays),
+            ptr(out_conf),
+        )
+        assert rc in (q, -1)
+    lib.rf_wait(h)
+    rc = lib.rf_relocalize(
+        h, ptr(np.ascontiguousarray(qd)), q, dim, ptr(out_rays),
+        ptr(out_conf),
+    )
+    assert rc == q and np.isfinite(out_rays).all()
+    # save joins the trainer and rebuilds deterministically
+    with tempfile.NamedTemporaryFile(suffix=".rf", delete=False) as f:
+        path = f.name
+    assert lib.rf_save(h, path.encode()) == 0
+    os.unlink(path)
+    # destroy with a build possibly in flight (dtor joins)
+    more = rng.normal(size=(6000, dim)).astype(np.float32)
+    mrays = rng.uniform(-0.5, 0.5, (6000, 2)).astype(np.float32)
+    assert lib.rf_add_keyframe(h, ptr(np.ascontiguousarray(more)),
+                               ptr(np.ascontiguousarray(mrays)), 6000, dim) == 0
+    lib.rf_destroy(h)
+    print("ok async train/query/save/destroy", flush=True)
+
     print("SANITIZE PASS", flush=True)
 
 

@@ -59,6 +59,10 @@ def _load_lib() -> ctypes.CDLL:
     lib.rf_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.rf_load.restype = ctypes.c_void_p
     lib.rf_load.argtypes = [ctypes.c_char_p]
+    lib.rf_set_async.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.rf_training.restype = ctypes.c_int
+    lib.rf_training.argtypes = [ctypes.c_void_p]
+    lib.rf_wait.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -88,8 +92,13 @@ class RelocForest:
         candidate_thresh: int = 8,
         backtrack_leaves: int = 8,
         seed: int = 17,
+        async_train: bool = False,
         _handle: int | None = None,
     ):
+        """``async_train=True`` moves tree rebuilds to a native background
+        thread (VERDICT r3 item 6): ``add_keyframe`` returns in ~the sample
+        memcpy time and queries keep serving the previous trees while a
+        build is in flight. Use ``wait()`` for deterministic hand-offs."""
         self._lib = _load_lib()
         if _handle is not None:
             self._h = _handle
@@ -98,6 +107,8 @@ class RelocForest:
                 num_trees, max_depth, min_leaf, candidate_dims,
                 candidate_thresh, backtrack_leaves, seed,
             )
+        if async_train:
+            self._lib.rf_set_async(self._h, 1)
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -108,6 +119,15 @@ class RelocForest:
     @property
     def num_samples(self) -> int:
         return self._lib.rf_num_samples(self._h)
+
+    @property
+    def training(self) -> bool:
+        """True while an async background rebuild is in flight."""
+        return bool(self._lib.rf_training(self._h))
+
+    def wait(self) -> None:
+        """Block until any in-flight background rebuild has swapped in."""
+        self._lib.rf_wait(self._h)
 
     def add_keyframe(self, desc, rays, valid=None) -> int:
         """Train on one keyframe's (descriptor, ray) pairs (SURVEY.md §4.1
@@ -165,8 +185,23 @@ def relocalize_rf(
 ) -> RelocResult:
     """Forest-backed relocalization: regress rays natively, solve the pose
     on device through the shared vote+refine pipeline (SURVEY.md §4.4
-    path B). Drop-in alternative to ``reloc.relocalize``."""
-    pred = forest.predict(np.asarray(desc))
+    path B). Drop-in alternative to ``reloc.relocalize``.
+
+    An untrained forest (possible with ``async_train`` while the FIRST
+    build is still in flight) reports failure instead of raising — the
+    caller stays lost and retries next frame, by which time the background
+    build has landed."""
+    q = len(np.asarray(desc))
+    try:
+        pred = forest.predict(np.asarray(desc))
+    except RuntimeError:
+        return RelocResult(
+            pose=jnp.zeros((3,), jnp.float32),
+            inliers=jnp.asarray(0, jnp.int32),
+            success=jnp.asarray(False),
+            matched_ray_ids=jnp.full((q,), -1, jnp.int32),
+            matched_ok=jnp.zeros((q,), bool),
+        )
     w = jnp.asarray(np.asarray(valid, bool) & (pred.conf >= min_conf))
     pose, inl, n, success = solve_from_correspondences(
         jnp.asarray(pred.rays), jnp.asarray(xy), w, intr, cfg, **solve_kw

@@ -307,7 +307,11 @@ def main() -> None:
     if args.reloc == "forest":
         from ptzjax.reloc_forest import RelocForest, relocalize_rf
 
-        forest = RelocForest()
+        # async_train (VERDICT r3 item 6): rebuilds run on a native
+        # background thread, so keyframe-time training never stalls the
+        # host loop; lost-frame queries serve the previous trees until the
+        # new build swaps in
+        forest = RelocForest(async_train=True)
         _train_forest_on_new_keyframes(state)
 
     chunk = max(1, args.chunk)
