@@ -7,11 +7,20 @@ fixed-capacity padded state (N_max ray slots + validity masks) so the whole
 predict/update/lifecycle step is one jitted, static-shape computation, and a
 full sequence runs as a single ``lax.scan``.
 
-State layout (SURVEY.md §8.3):
-    x = (pan, tilt, f, d_pan, d_tilt, d_f, theta_1, phi_1, ..., theta_N, phi_N)
-with dense covariance P of size (6 + 2N)^2. For N=256 the heavy ops are
-~518x518 matmuls and a 512x512 Cholesky — small enough to live in VMEM and
-run entirely on-chip every frame.
+State layout (SURVEY.md §8.3) — BLOCKED, not interleaved:
+    x = (pan, tilt, f, d_pan, d_tilt, d_f, theta_1..theta_N, phi_1..phi_N)
+with dense covariance P of size (6 + 2N)^2. The reference (and round 1-3 of
+this engine) interleaves (theta_i, phi_i) pairs; that layout forces every
+blockdiag-Jacobian product through (N, 2, N, 2)-shaped reshapes, which on
+TPU are PHYSICAL relayouts against the (8, 128) register tiling — an
+op-level trace attributed ~90 us/frame (N=128) to those reshapes plus the
+diag-block reductions alone. Grouping all thetas then all phis makes every
+per-slot 2x2 Jacobian block a DIAGONAL of an (N, N) block, so the whole
+measurement algebra becomes (D, N)-shaped broadcasting and (*, 3) matmuls
+with zero relayouts. The measurement space is blocked the same way:
+residual = (x_1..x_N, y_1..y_N). For N=256 the heavy ops are ~518x518
+matmuls and a 512x512 Cholesky — small enough to live in VMEM and run
+entirely on-chip every frame.
 
 Masking convention: slot i inactive or unobserved => its H rows are zeroed and
 its innovation zeroed, so the Kalman update is exactly the update of the
@@ -162,54 +171,63 @@ def update(
     pred_pix, j_cam, j_ray = project_jacobians(pose, state.rays, intr)
     innov = obs - pred_pix  # (N, 2)
 
-    # Structured Kalman algebra: H = [Jc | 0 | blockdiag(Jr)] is NEVER
-    # materialized, and the UNMASKED innovation-covariance S_u is built
-    # FIRST so the Mahalanobis gate reads its diagonal 2x2 blocks for free
-    # (the former standalone gate einsums + a diag-block gather cost
-    # ~0.20 ms/frame in context on v5e — the single largest item in the
-    # whole frame step). Masking commutes exactly: zeroing H's row-pair i
-    # scales S rows/cols and P H^T columns by used in {0,1}, which is
-    # fp-exact, so gating AFTER building S_u changes no update value.
-    # Obs row-pair i occupies rows 2i:2i+2; H's nonzero cols are 0:3
-    # (camera) and 6+2i:6+2i+2 (its own ray).
-    hi = jax.lax.Precision.HIGHEST
-    jc2 = j_cam.reshape(2 * n, 3)
+    # Structured Kalman algebra in the BLOCKED layout (module docstring):
+    # H = [Jc | 0 | diag-blocks], never materialized, and the UNMASKED
+    # innovation covariance S_u is built FIRST so the Mahalanobis gate
+    # reads its per-slot 2x2 blocks as plain (N,N)-matrix diagonals.
+    # Masking commutes exactly: zeroing H's slot-i rows scales S rows/cols
+    # and P H^T columns by used in {0,1}, which is fp-exact, so gating
+    # AFTER building S_u changes no update value. In the blocked state
+    # each per-slot ray Jacobian entry becomes a DIAGONAL of an (N, N)
+    # block, so every blockdiag product below is a broadcast multiply on
+    # (D, N) tiles — no (N, 2, N, 2) relayouts (those reshapes measured
+    # ~90 us/frame at N=128 on v5e).
+    jcx = j_cam[:, 0, :]                                 # (N, 3)
+    jcy = j_cam[:, 1, :]
+    jra = j_ray[:, 0, 0]                                 # (N,) dx/dtheta
+    jrb = j_ray[:, 0, 1]                                 # dx/dphi
+    jrc = j_ray[:, 1, 0]                                 # dy/dtheta
+    jrd = j_ray[:, 1, 1]                                 # dy/dphi
 
-    # P H^T (unmasked): [d, 2i+a] = P[d,0:3]·Jc[i,a,:] + P[d,2i:2i+2]·Jr[i,a,:]
-    pr = state.cov[:, 6:].reshape(d, n, 2)
-    ph_t = (
-        _mm(state.cov[:, 0:3], jc2.T)
-        + jnp.einsum("dnb,nab->dna", pr, j_ray, precision=hi).reshape(
-            d, 2 * n
-        )
-    )                                                    # (D, 2N)
+    p_c = state.cov[:, 0:3]                              # (D, 3)
+    p_t = state.cov[:, 6 : 6 + n]                        # (D, N) theta cols
+    p_p = state.cov[:, 6 + n :]                          # (D, N) phi cols
 
-    # S_u = H (P H^T): row-pair i = Jc_i·PHT[0:3] + Jr_i·PHT[6+2i:6+2i+2]
-    pht_r = ph_t[6:].reshape(n, 2, 2 * n)
-    s = (
-        _mm(jc2, ph_t[0:3])
-        + jnp.einsum("nab,nbm->nam", j_ray, pht_r, precision=hi).reshape(
-            2 * n, 2 * n
-        )
+    # P H^T, measurement-blocked (x-residuals then y-residuals): (D, 2N)
+    ph_t = jnp.concatenate(
+        [
+            _mm(p_c, jcx.T) + p_t * jra[None, :] + p_p * jrb[None, :],
+            _mm(p_c, jcy.T) + p_t * jrc[None, :] + p_p * jrd[None, :],
+        ],
+        axis=1,
     )
 
+    # S_u = H (P H^T): x-row block = Jcx·PHT[0:3] + a*PHT_theta + b*PHT_phi
+    pht_c = ph_t[0:3]
+    pht_t = ph_t[6 : 6 + n]
+    pht_p = ph_t[6 + n :]
+    sx = _mm(jcx, pht_c) + jra[:, None] * pht_t + jrb[:, None] * pht_p
+    sy = _mm(jcy, pht_c) + jrc[:, None] * pht_t + jrd[:, None] * pht_p
+    s = jnp.concatenate([sx, sy], axis=0)                # (2N, 2N)
+
     # Mahalanobis innovation gate against the *predicted* per-slot
-    # innovation covariance S_i = (S_u diag block) + R. This admits large
+    # innovation covariance S_i = (S_u 2x2 block) + R. This admits large
     # pixel innovations while the velocity is still uncertain (right after
     # init/reloc) and tightens as the filter converges; a fixed pixel gate
     # deadlocks with constant-velocity startup (lost -> reloc -> zero
-    # velocity -> lost). Diag blocks via mask+reduce (one VPU pass — an
-    # advanced-indexing gather here serializes).
+    # velocity -> lost). The four entries are diagonals of S's (N, N)
+    # quadrants — one masked VPU reduce each.
     eye_n = jnp.eye(n, dtype=jnp.float32)
-    s_i = (
-        s.reshape(n, 2, n, 2) * eye_n[:, None, :, None]
-    ).sum(2) + cfg.sigma_obs**2 * jnp.eye(2)             # (N, 2, 2)
-    det = s_i[:, 0, 0] * s_i[:, 1, 1] - s_i[:, 0, 1] * s_i[:, 1, 0]
-    maha2 = (
-        s_i[:, 1, 1] * innov[:, 0] ** 2
-        - (s_i[:, 0, 1] + s_i[:, 1, 0]) * innov[:, 0] * innov[:, 1]
-        + s_i[:, 0, 0] * innov[:, 1] ** 2
-    ) / jnp.maximum(det, 1e-12)
+    sig2 = cfg.sigma_obs**2
+    s00 = (sx[:, :n] * eye_n).sum(1) + sig2
+    s01 = (sx[:, n:] * eye_n).sum(1)
+    s10 = (sy[:, :n] * eye_n).sum(1)
+    s11 = (sy[:, n:] * eye_n).sum(1) + sig2
+    ix, iy = innov[:, 0], innov[:, 1]
+    det = s00 * s11 - s01 * s10
+    maha2 = (s11 * ix**2 - (s01 + s10) * ix * iy + s00 * iy**2) / jnp.maximum(
+        det, 1e-12
+    )
     px_ok = jnp.linalg.norm(innov, axis=-1) < cfg.innovation_gate_px
     used = offered & (maha2 < cfg.gate_maha2) & px_ok
 
@@ -226,38 +244,41 @@ def update(
         used_wide.sum() >= 3 * cfg.min_inliers
     )
     used = jnp.where(rescue, used_wide, used)
-    used_f = used.astype(jnp.float32)[:, None]           # (N, 1)
+    u1 = used.astype(jnp.float32)                        # (N,)
     innov = jnp.where(used[:, None], innov, 0.0)
 
-    # apply the gate: zero unused row-pairs of S / cols of PHT / Jacobians
-    u2 = jnp.repeat(used, 2).astype(jnp.float32)         # (2N,)
+    # apply the gate: zero unused rows of S / cols of PHT / Jacobians
+    u2 = jnp.concatenate([u1, u1])                       # (2N,)
     ph_t = ph_t * u2[None, :]
     s = s * (u2[:, None] * u2[None, :])
-    j_cam = j_cam * used_f[..., None]                    # (N, 2, 3)
-    j_ray = j_ray * used_f[..., None]                    # (N, 2, 2)
-    jc2 = j_cam.reshape(2 * n, 3)
+    jcx = jcx * u1[:, None]
+    jcy = jcy * u1[:, None]
+    jra = jra * u1
+    jrb = jrb * u1
+    jrc = jrc * u1
+    jrd = jrd * u1
 
-    r_diag = jnp.full((2 * n,), cfg.sigma_obs**2, jnp.float32)
+    r_diag = jnp.full((2 * n,), sig2, jnp.float32)
     s = s + jnp.diag(r_diag)
     # Solve S X = (P H^T)^T via Cholesky; K = X^T.
     chol = jax.scipy.linalg.cho_factor(s, lower=True)
     k = jax.scipy.linalg.cho_solve(chol, ph_t.T).T       # (D, 2N)
 
-    dx = k @ innov.reshape(-1)
+    dx = k @ jnp.concatenate([innov[:, 0], innov[:, 1]])
     cam = state.cam + dx[:6]
-    rays = state.rays + dx[6:].reshape(n, 2)
+    rays = state.rays + jnp.stack([dx[6 : 6 + n], dx[6 + n :]], axis=-1)
 
-    # Joseph-form covariance update for fp32 stability. K H reuses the same
-    # block structure: cols 0:3 = K·Jc, cols 3:6 = 0, ray col-pair j only
-    # sees K's own column pair.
-    kr = k.reshape(d, n, 2)
+    # Joseph-form covariance update for fp32 stability. K H reuses the
+    # blocked structure: cols 0:3 = K·[Jcx; Jcy], cols 3:6 = 0, the theta
+    # column block = Kx*diag(a) + Ky*diag(c) (broadcast multiplies).
+    kx = k[:, :n]
+    ky = k[:, n:]
     kh = jnp.concatenate(
         [
-            _mm(k, jc2),
+            _mm(kx, jcx) + _mm(ky, jcy),
             jnp.zeros((d, 3), jnp.float32),
-            jnp.einsum("dna,nab->dnb", kr, j_ray, precision=hi).reshape(
-                d, 2 * n
-            ),
+            kx * jra[None, :] + ky * jrc[None, :],
+            kx * jrb[None, :] + ky * jrd[None, :],
         ],
         axis=1,
     )
@@ -295,8 +316,8 @@ def _clear_slots(state: EKFState, drop: jax.Array) -> EKFState:
     active = state.active & keep
     ray_ids = jnp.where(keep, state.ray_ids, -1)
     # reset dropped slots' covariance to identity, zero cross terms
-    slot_rows = jnp.repeat(drop, 2)                      # (2N,) aligned to ray block
-    full = jnp.concatenate([jnp.zeros((6,), bool), slot_rows])
+    # (blocked layout: slot i owns state rows 6+i and 6+N+i)
+    full = jnp.concatenate([jnp.zeros((6,), bool), drop, drop])
     cov = jnp.where(full[:, None] | full[None, :], 0.0, state.cov)
     cov = cov + jnp.diag(jnp.where(full, 1.0, 0.0))
     return state._replace(
@@ -324,25 +345,40 @@ class SlotClaim(NamedTuple):
 
 
 def claim_slots(active: jax.Array, cand_mask: jax.Array) -> SlotClaim:
-    """Assign accepted candidates to free slots. The only scatters here are
-    O(N)/O(K) int32 writes — callers should use ``cand_of_slot`` gathers +
-    masked selects for the heavy payloads instead of scattering them (a
-    large elementwise scatter is near-serial on TPU and dominated the whole
-    frame step before this refactor)."""
+    """Assign accepted candidates to free slots, fully scatter-free.
+
+    The rank->index maps are built with ``searchsorted`` over the rank
+    cumsums (both nondecreasing) instead of rank-scatters: TPU scatters
+    execute near-serially per update row (~30-40 ns each — an op-level
+    trace attributed ~56 us/frame to the tracking step's scatters at
+    K=256), while searchsorted is log2(N) fully-vectorized compare/gather
+    steps. Callers should use ``cand_of_slot`` gathers + masked selects
+    for the heavy payloads."""
     n = active.shape[0]
     k = cand_mask.shape[0]
     free = ~active
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    cand_rank = jnp.cumsum(cand_mask.astype(jnp.int32)) - 1
-    num_free = free.sum()
+    csf = jnp.cumsum(free.astype(jnp.int32))              # (N,) nondecreasing
+    free_rank = csf - 1
+    cand_csum = jnp.cumsum(cand_mask.astype(jnp.int32))   # (K,)
+    cand_rank = cand_csum - 1
+    num_free = csf[-1]
     cand_ok = cand_mask & (cand_rank < num_free)
-    slot_of_rank = jnp.full((n,), n, jnp.int32).at[
-        jnp.where(free, free_rank, n)
-    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-    target = jnp.where(cand_ok, slot_of_rank[jnp.clip(cand_rank, 0, n - 1)], n)
-    newly = jnp.zeros((n,), bool).at[target].set(True, mode="drop")
-    cand_of_slot = jnp.full((n,), k, jnp.int32).at[target].set(
-        jnp.arange(k, dtype=jnp.int32), mode="drop"
+    num_ok = cand_ok.sum()
+    # slot_of_rank[r] = index of the r-th free slot = first i: csf[i] == r+1
+    slot_of_rank = jnp.searchsorted(
+        csf, jnp.arange(1, k + 1, dtype=jnp.int32), method="compare_all"
+    ).astype(jnp.int32)                                   # (K,), n = none
+    target = jnp.where(
+        cand_ok, slot_of_rank[jnp.clip(cand_rank, 0, k - 1)], n
+    )
+    newly = free & (free_rank < num_ok)
+    # cand_of_slot[i] = index of the free_rank[i]-th accepted candidate
+    idx_by_rank = jnp.searchsorted(
+        cand_csum, jnp.arange(1, n + 1, dtype=jnp.int32),
+        method="compare_all",
+    ).astype(jnp.int32)                                   # (N,), k = none
+    cand_of_slot = jnp.where(
+        newly, idx_by_rank[jnp.clip(free_rank, 0, n - 1)], k
     )
     return SlotClaim(cand_ok, target, newly, cand_of_slot)
 
@@ -397,38 +433,58 @@ def insert_rays(
     missed = jnp.where(sel, 0, state.missed)
     rej = jnp.where(sel, 0, state.rej)
 
-    # --- covariance augmentation (slot-major, scatter-free) ---
+    # --- covariance augmentation (slot-major, scatter-free, blocked) ---
     zero2 = sel[:, None, None].astype(jnp.float32)
     g_cam_s = g_cam[safe] * zero2                         # (N,2,3), 0 if old
     g_pix_s = g_pix[safe] * zero2                         # (N,2,2)
+    g_t = g_cam_s[:, 0, :]                                # (N,3) d theta/d pose
+    g_p = g_cam_s[:, 1, :]                                # (N,3) d phi/d pose
 
-    # 1) clear the claimed slots' rows/cols (stale identity blocks).
-    slot_rows = jnp.repeat(sel, 2)
-    full = jnp.concatenate([jnp.zeros((6,), bool), slot_rows])  # (D,)
+    # 1) clear the claimed slots' rows/cols (stale identity blocks);
+    #    blocked layout: slot i owns rows 6+i (theta) and 6+N+i (phi).
+    full = jnp.concatenate([jnp.zeros((6,), bool), sel, sel])   # (D,)
     cov = jnp.where(full[:, None] | full[None, :], 0.0, state.cov)
 
     # 2) cross-covariance of new rays vs the whole (cleared) state:
     #    P_new,* = G_c P_pose,*   (velocity/pixel terms have zero Jacobian).
-    hi = jax.lax.Precision.HIGHEST
-    cross = jnp.einsum("nab,bD->naD", g_cam_s, cov[0:3, :], precision=hi)
     cross_full = jnp.concatenate(
-        [jnp.zeros((6, d), jnp.float32), cross.reshape(2 * n, d)]
+        [
+            jnp.zeros((6, d), jnp.float32),
+            _mm(g_t, cov[0:3, :]),                        # (N, D)
+            _mm(g_p, cov[0:3, :]),
+        ]
     )                                                     # (D, D)
     cov = jnp.where(full[:, None], cross_full, cov)
     cov = jnp.where(full[None, :], cross_full.T, cov)
 
-    # 3) new-new blocks: G_ci P_cc G_cj^T + delta_ij (G_p R G_p^T + prior).
+    # 3) new-new blocks: G_ci P_cc G_cj^T + delta_ij (G_p R G_p^T + prior),
+    #    assembled as the four (N, N) quadrants of the ray-ray block.
     pcc = state.cov[0:3, 0:3]
-    gc_p = jnp.einsum("nab,bc->nac", g_cam_s, pcc, precision=hi)     # (N,2,3)
-    blocks = jnp.einsum("nac,mdc->namd", gc_p, g_cam_s, precision=hi)
-    pix_noise = cfg.sigma_obs**2 * jnp.einsum(
-        "nab,ncb->nac", g_pix_s, g_pix_s, precision=hi
+    gt_p = _mm(g_t, pcc)                                  # (N, 3)
+    gp_p = _mm(g_p, pcc)
+    b_tt = _mm(gt_p, g_t.T)                               # (N, N)
+    b_tp = _mm(gt_p, g_p.T)
+    b_pp = _mm(gp_p, g_p.T)
+    # per-slot 2x2 pixel-noise + prior terms land on the quadrant diagonals
+    sig2 = cfg.sigma_obs**2
+    prior = (cfg.init_ray_std**2) * sel.astype(jnp.float32)
+    d_tt = sig2 * (g_pix_s[:, 0, 0] ** 2 + g_pix_s[:, 0, 1] ** 2) + prior
+    d_tp = sig2 * (
+        g_pix_s[:, 0, 0] * g_pix_s[:, 1, 0]
+        + g_pix_s[:, 0, 1] * g_pix_s[:, 1, 1]
     )
-    # extra diagonal prior keeps newly inserted rays from being overconfident
-    prior = (cfg.init_ray_std**2) * zero2 * jnp.eye(2, dtype=jnp.float32)
+    d_pp = sig2 * (g_pix_s[:, 1, 0] ** 2 + g_pix_s[:, 1, 1] ** 2) + prior
     eye_n = jnp.eye(n, dtype=jnp.float32)
-    blocks = blocks + eye_n[:, None, :, None] * (pix_noise + prior)[:, :, None, :]
-    blocks_full = jnp.pad(blocks.reshape(2 * n, 2 * n), ((6, 0), (6, 0)))
+    b_tt = b_tt + eye_n * d_tt[:, None]
+    b_tp = b_tp + eye_n * d_tp[:, None]
+    b_pp = b_pp + eye_n * d_pp[:, None]
+    blocks_full = jnp.concatenate(
+        [
+            jnp.zeros((6, d), jnp.float32),
+            jnp.concatenate([jnp.zeros((n, 6), jnp.float32), b_tt, b_tp], 1),
+            jnp.concatenate([jnp.zeros((n, 6), jnp.float32), b_tp.T, b_pp], 1),
+        ]
+    )
     cov = jnp.where(full[:, None] & full[None, :], blocks_full, cov)
 
     return state._replace(

@@ -118,23 +118,39 @@ def add_rays(
       capacity exhausted).
     """
     m = store.rays.shape[0]
+    b = rays.shape[0]
     free = ~store.valid
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    slot_of_rank = jnp.full((m,), m, jnp.int32).at[
-        jnp.where(free, free_rank, m)
-    ].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
-    cand_rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    ok = mask & (cand_rank < free.sum())
-    ids = jnp.where(ok, slot_of_rank[jnp.clip(cand_rank, 0, m - 1)], -1)
-    tgt = jnp.where(ok, ids, m)
+    csf = jnp.cumsum(free.astype(jnp.int32))              # (M,) nondecreasing
+    free_rank = csf - 1
+    cand_csum = jnp.cumsum(mask.astype(jnp.int32))        # (B,)
+    cand_rank = cand_csum - 1
+    ok = mask & (cand_rank < csf[-1])
+    num_ok = ok.sum()
+    # scatter-free (see ekf.claim_slots): rank->index via searchsorted over
+    # the cumsums, payload writes as row-gathers + masked selects. The old
+    # per-row scatters (rays/desc/valid/views/last_seen) were the largest
+    # single item in the tracking step's scatter bill on v5e.
+    ids = jnp.where(
+        ok,
+        jnp.searchsorted(
+            csf, jnp.arange(1, b + 1, dtype=jnp.int32),
+            method="compare_all",
+        ).astype(jnp.int32)[jnp.clip(cand_rank, 0, b - 1)],
+        -1,
+    )
+    write = free & (free_rank < num_ok)                   # (M,) rows written
+    cand_of_row = jnp.searchsorted(
+        cand_csum, jnp.clip(csf, 1, None), method="compare_all"
+    ).astype(jnp.int32)                                   # (M,), b = none
+    src = jnp.clip(cand_of_row, 0, b - 1)
     new = RayStore(
-        rays=store.rays.at[tgt].set(rays, mode="drop"),
-        desc=store.desc.at[tgt].set(desc, mode="drop"),
-        valid=store.valid.at[tgt].set(True, mode="drop"),
-        views=store.views.at[tgt].set(0, mode="drop"),
-        count=store.count + ok.sum().astype(jnp.int32),
-        last_seen=store.last_seen.at[tgt].set(
-            jnp.asarray(frame_idx, jnp.int32), mode="drop"
+        rays=jnp.where(write[:, None], rays[src], store.rays),
+        desc=jnp.where(write[:, None], desc[src], store.desc),
+        valid=store.valid | write,
+        views=jnp.where(write, 0, store.views),
+        count=store.count + num_ok.astype(jnp.int32),
+        last_seen=jnp.where(
+            write, jnp.asarray(frame_idx, jnp.int32), store.last_seen
         ),
     )
     return new, ids

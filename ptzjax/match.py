@@ -273,10 +273,15 @@ def scatter_to_slots(
 
     Returns:
       (obs (N,2), obs_mask (N,)) for ekf.update.
+
+    Scatter-free: matches are unique per slot (mutual-best check), so the
+    slot table is a one-hot (N, Q) compare + one tiny MXU matmul — TPU
+    scatters serialize per row, the compare/matmul is one vector pass.
     """
-    obs = jnp.zeros((num_slots, 2), xy_query.dtype)
-    mask = jnp.zeros((num_slots,), bool)
     tgt = jnp.where(result.ok, result.idx, num_slots)
-    obs = obs.at[tgt].set(xy_query, mode="drop")
-    mask = mask.at[tgt].set(True, mode="drop")
-    return obs, mask
+    onehot = tgt[None, :] == jnp.arange(num_slots, dtype=jnp.int32)[:, None]
+    obs = jnp.matmul(
+        onehot.astype(xy_query.dtype), xy_query,
+        preferred_element_type=jnp.float32,
+    )
+    return obs, onehot.any(axis=1)

@@ -367,9 +367,12 @@ def _track_frame(
     # per frame, and fast-retiring those measurably degrades the map under
     # plain i.i.d. outliers (r4 sigma-1 regression).
     n = ekf_state.capacity
-    rejected = jnp.zeros((n,), bool).at[
-        jnp.where(consensus_rej, m.idx, n)
-    ].set(True, mode="drop") & ekf_state.active
+    slot_iota = jnp.arange(n, dtype=jnp.int32)
+    rejected = (
+        (jnp.where(consensus_rej, m.idx, n)[None, :] == slot_iota[:, None])
+        .any(axis=1)
+        & ekf_state.active
+    )
     ekf_state = ekf_state._replace(
         rej=jnp.where(rejected, ekf_state.rej + 1, 0)
     )
@@ -381,16 +384,12 @@ def _track_frame(
     # texture resolves differently), so the slot tracks the CURRENT look of
     # its landmark instead of the look at insertion time
     q = desc.shape[0]
-    n = ekf_state.capacity
     tgt = jnp.where(m.ok, m.idx, n)
-    cand_of_slot = jnp.full((n,), q, jnp.int32).at[tgt].set(
-        jnp.arange(q, dtype=jnp.int32), mode="drop"
-    )
-    refresh = stats.used_mask & (cand_of_slot < q)
+    onehot = tgt[None, :] == slot_iota[:, None]           # (N, Q), unique/slot
+    cand_of_slot = jnp.argmax(onehot, axis=1).astype(jnp.int32)
+    refresh = stats.used_mask & onehot.any(axis=1)
     slot_desc = jnp.where(
-        refresh[:, None],
-        desc[jnp.clip(cand_of_slot, 0, q - 1)],
-        state.slot_desc,
+        refresh[:, None], desc[cand_of_slot], state.slot_desc
     )
     state = state._replace(slot_desc=slot_desc)
 

@@ -216,17 +216,24 @@ def test_structured_update_matches_dense_oracle():
     used = np.asarray(stats.used_mask)
     assert used.sum() >= n - 5
 
-    # fp64 dense-H oracle with the SAME gate decisions
+    # fp64 dense-H oracle with the SAME gate decisions, in the BLOCKED
+    # state/measurement layout (ekf.py module docstring): state columns are
+    # [cam6 | theta_1..N | phi_1..N], measurement rows [x_1..N | y_1..N].
     _, j_cam, j_ray = project_jacobians(state.pose, state.rays, intr)
     jc = np.asarray(j_cam, np.float64) * used[:, None, None]
     jr = np.asarray(j_ray, np.float64) * used[:, None, None]
     h = np.zeros((2 * n, d))
     for i in range(n):
-        h[2 * i : 2 * i + 2, 0:3] = jc[i]
-        h[2 * i : 2 * i + 2, 6 + 2 * i : 8 + 2 * i] = jr[i]
+        h[i, 0:3] = jc[i, 0]                 # x-residual row of slot i
+        h[n + i, 0:3] = jc[i, 1]             # y-residual row
+        h[i, 6 + i] = jr[i, 0, 0]            # dx/dtheta
+        h[i, 6 + n + i] = jr[i, 0, 1]        # dx/dphi
+        h[n + i, 6 + i] = jr[i, 1, 0]        # dy/dtheta
+        h[n + i, 6 + n + i] = jr[i, 1, 1]    # dy/dphi
     p = np.asarray(cov, np.float64)
     r = np.eye(2 * n) * cfg.sigma_obs**2
-    innov = np.where(used[:, None], obs - pred, 0.0).reshape(-1)
+    innov2 = np.where(used[:, None], obs - pred, 0.0)
+    innov = np.concatenate([innov2[:, 0], innov2[:, 1]])
     s = h @ p @ h.T + r
     k = p @ h.T @ np.linalg.inv(s)
     dx = k @ innov
@@ -239,7 +246,8 @@ def test_structured_update_matches_dense_oracle():
         rtol=1e-4, atol=1e-5,
     )
     np.testing.assert_allclose(
-        np.asarray(new.rays), rays + dx[6:].reshape(n, 2),
+        np.asarray(new.rays),
+        rays + np.stack([dx[6 : 6 + n], dx[6 + n :]], -1),
         rtol=1e-4, atol=1e-5,
     )
     np.testing.assert_allclose(
