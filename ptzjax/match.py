@@ -46,12 +46,14 @@ def _masked_scores(
 
 
 def _top2(s: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Row-wise (best idx, best val, second val)."""
-    i1 = jnp.argmax(s, axis=1)
+    """Row-wise (best idx, best val, second val). Scatter-free: the best
+    entry is knocked out with a one-hot compare+select (a per-row scatter
+    serializes on TPU)."""
+    i1 = jnp.argmax(s, axis=1).astype(jnp.int32)
     v1 = jnp.take_along_axis(s, i1[:, None], axis=1)[:, 0]
-    s2 = s.at[jnp.arange(s.shape[0]), i1].set(_NEG)
-    v2 = jnp.max(s2, axis=1)
-    return i1.astype(jnp.int32), v1, v2
+    cols = jnp.arange(s.shape[1], dtype=jnp.int32)
+    v2 = jnp.max(jnp.where(cols[None, :] == i1[:, None], _NEG, s), axis=1)
+    return i1, v1, v2
 
 
 def match_descriptors(
@@ -252,9 +254,30 @@ def consensus_pan_tilt(
     b1 = jnp.sum(w * bx)
     b2 = jnp.sum(w * by)
     b3 = jnp.sum(w * (btx * bx + bty * by))
-    A = jnp.array([[a11, 0.0, a13], [0.0, a22, a23], [a13, a23, a33]])
-    rhs = jnp.array([b1, b2, b3])
-    sol = jnp.linalg.solve(A + 1e-6 * jnp.eye(3), rhs)
+    # closed-form 3x3 solve (jnp.linalg.solve lowers to an LU while-loop on
+    # TPU — measurable per-frame latency for a single tiny system). The
+    # system is [[a11,0,a13],[0,a22,a23],[a13,a23,a33]] + 1e-6 I.
+    a11 = a11 + 1e-6
+    a22 = a22 + 1e-6
+    a33 = a33 + 1e-6
+    det = a11 * (a22 * a33 - a23 * a23) + a13 * (-a22 * a13)
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    sol = (
+        jnp.array(
+            [
+                b1 * (a22 * a33 - a23 * a23)
+                + b2 * (a23 * a13)
+                + b3 * (-a22 * a13),
+                b1 * (a13 * a23)
+                + b2 * (a11 * a33 - a13 * a13)
+                + b3 * (-a11 * a23),
+                b1 * (-a13 * a22)
+                + b2 * (-a11 * a23)
+                + b3 * (a11 * a22),
+            ]
+        )
+        / det
+    )
     rx = bx - sol[0] - sol[2] * btx
     ry = by - sol[1] - sol[2] * bty
     refined = ok & (rx * rx + ry * ry < inlier_px * inlier_px)

@@ -246,3 +246,47 @@ class TestEndToEndFeatures:
         dy = np.asarray(kp1.xy)[ok, 1] - np.asarray(kp0.xy)[np.asarray(m.idx)[ok], 1]
         assert abs(np.median(dx) - 7.0) < 0.3, np.median(dx)
         assert abs(np.median(dy)) < 0.3, np.median(dy)
+
+
+class TestCholeskySolve:
+    def test_cholesky_pallas_interpret(self):
+        """The experimental Pallas panel Cholesky is exact in interpret
+        mode (the real-hardware path is blocked on a Mosaic miscompile —
+        see kernels/cholesky_pallas.py docstring)."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        import ptzjax.kernels.cholesky_pallas as cp
+
+        rng = np.random.default_rng(0)
+        for n in (64, 128):
+            a = rng.normal(size=(n, n)).astype(np.float32)
+            s = jnp.asarray(a @ a.T + n * np.eye(n, dtype=np.float32))
+            u = pl.pallas_call(
+                cp._chol_kernel,
+                out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((n, n), jnp.float32)],
+                interpret=True,
+            )(s)
+            l = np.asarray(u).T
+            err = np.abs(l @ l.T - np.asarray(s)).max() / np.abs(s).max()
+            assert err < 1e-5, (n, err)
+
+    def test_inv_lower_neumann_exact(self):
+        """_inv_lower (production: ekf.update's solve) inverts lower-
+        triangular factors to fp32 substitution accuracy, across the base
+        Neumann-product case and the blocked recursion (> 128)."""
+        from ptzjax.ekf import _inv_lower
+
+        rng = np.random.default_rng(1)
+        for n in (16, 48, 128, 192, 256):
+            a = rng.normal(size=(n, n)).astype(np.float32)
+            s = a @ a.T + n * np.eye(n, dtype=np.float32)
+            l = np.linalg.cholesky(s).astype(np.float32)
+            il = np.asarray(_inv_lower(jnp.asarray(l)))
+            err = np.abs(il @ l - np.eye(n)).max()
+            assert err < 5e-5, (n, err)
+            # strictly triangular: no garbage above the diagonal
+            assert np.abs(np.triu(il, 1)).max() == 0.0, n
