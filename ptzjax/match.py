@@ -261,7 +261,10 @@ def consensus_pan_tilt(
     a22 = a22 + 1e-6
     a33 = a33 + 1e-6
     det = a11 * (a22 * a33 - a23 * a23) + a13 * (-a22 * a13)
-    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    # bound magnitude but PRESERVE sign (sign(0) treated as +): replacing a
+    # small negative det with +eps would flip the refit direction
+    sgn = jnp.where(det < 0.0, -1.0, 1.0)
+    det = sgn * jnp.maximum(jnp.abs(det), 1e-12)
     sol = (
         jnp.array(
             [
@@ -298,13 +301,15 @@ def scatter_to_slots(
       (obs (N,2), obs_mask (N,)) for ekf.update.
 
     Scatter-free: matches are unique per slot (mutual-best check), so the
-    slot table is a one-hot (N, Q) compare + one tiny MXU matmul — TPU
-    scatters serialize per row, the compare/matmul is one vector pass.
+    slot table is a one-hot (N, Q) compare + a row gather — TPU scatters
+    serialize per row; gathers are a single vector pass. (A bf16 MXU
+    matmul with the one-hot would quantize x in [1024, 1280) by up to
+    ~4 px — ulp(bf16)=8 there — vs sigma_obs = 1 px, so the exact gather
+    is required, not just faster.)
     """
     tgt = jnp.where(result.ok, result.idx, num_slots)
     onehot = tgt[None, :] == jnp.arange(num_slots, dtype=jnp.int32)[:, None]
-    obs = jnp.matmul(
-        onehot.astype(xy_query.dtype), xy_query,
-        preferred_element_type=jnp.float32,
-    )
-    return obs, onehot.any(axis=1)
+    hit = onehot.any(axis=1)
+    cand = jnp.argmax(onehot, axis=1)                        # (N,) query row
+    obs = jnp.where(hit[:, None], xy_query[cand], 0.0)
+    return obs, hit

@@ -93,6 +93,13 @@ def _parse() -> argparse.Namespace:
              "artifacts plus ba_cost_before/after in summary.json",
     )
     p.add_argument(
+        "--oracle-focals", action="store_true",
+        help="--offline: EXPLICIT oracle mode — zoom-normalize descriptors "
+             "with per-frame GROUND-TRUTH focals instead of the frame-0 "
+             "anchor. Leaks GT into the frontend; for kernel-quality "
+             "ablations only, never for accuracy claims",
+    )
+    p.add_argument(
         "--mesh-devices", type=int, default=0,
         help="--offline: devices in the 1-D mesh (0 = all visible; test on "
              "CPU with XLA_FLAGS=--xla_force_host_platform_device_count=8)",
@@ -600,10 +607,20 @@ def _run_offline(args, cfg, intr, imgs_all, masks_all, feats, gt) -> None:
     if feats is None:
         use_pallas = jax.default_backend() == "tpu"
         n = len(imgs_all)
+        # Descriptor zoom-normalization focal: the product path anchors on
+        # the FRAME-0 focal only — the same information the online
+        # bootstrap has (slam.init consumes gt[0]); per-frame GT focals
+        # are an oracle leak (VERDICT r4 weak #3) and require the explicit
+        # --oracle-focals opt-in.
+        oracle = bool(getattr(args, "oracle_focals", False))
+        if oracle:
+            focals = np.asarray(gt[:n, 2], np.float32)
+        else:
+            focals = np.full((n,), float(gt[0, 2]), np.float32)
         xy_all, desc_all, valid_all = dist.extract_features_sharded(
             imgs_all, cfg, mesh,
             masks=None if masks_all is None else jnp.asarray(masks_all),
-            focals=np.asarray(gt[:n, 2], np.float32),
+            focals=focals,
             use_pallas=use_pallas,
         )
         xy_all = np.asarray(xy_all)
@@ -669,6 +686,11 @@ def _run_offline(args, cfg, intr, imgs_all, masks_all, feats, gt) -> None:
         "frames_lost": sum(r["lost"] for r in records),
         "keyframes": sum(r["keyframe"] for r in records),
         "mode": "offline",
+        "frontend_focals": (
+            "oracle_per_frame_gt"
+            if (feats is None and bool(getattr(args, "oracle_focals", False)))
+            else ("precomputed" if feats is not None else "f_ref_frame0")
+        ),
         "mesh_devices": int(mesh.devices.size),
         "frontend_s": t_frontend,
         "tracking_s": t_track,

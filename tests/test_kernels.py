@@ -290,3 +290,43 @@ class TestCholeskySolve:
             assert err < 5e-5, (n, err)
             # strictly triangular: no garbage above the diagonal
             assert np.abs(np.triu(il, 1)).max() == 0.0, n
+
+    def test_inv_lower_ill_conditioned_gain(self):
+        """ADVICE r4: _inv_lower's explicit inverse has forward error
+        growing with cond(L), unlike backward-stable substitution. Post-
+        init/reloc S = H P H^T + R is ill-conditioned (large ray/velocity
+        covariance on some slots, sigma_obs^2 floor on others). Build S
+        with eigenvalue spread ~1e6 at post-reloc scales and assert the
+        Kalman gain K = PHT S^-1 from the Neumann path stays close to an
+        fp64 substitution solve."""
+        from scipy.linalg import cho_factor, cho_solve
+
+        from ptzjax.ekf import _inv_lower
+
+        rng = np.random.default_rng(7)
+        for n in (64, 256):
+            # eigenvalues spanning sigma_obs^2 ~ 1 up to f^2 * ray_var ~ 1e6
+            # (post-reloc: init_ray_std ~1e-2 rad seen through f~1100 px,
+            # plus near-floor slots) — cond(S) ~ 1e6, cond(L) ~ 1e3.
+            eigs = np.logspace(0, 6, n)
+            q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+            s64 = (q * eigs) @ q.T
+            s64 = 0.5 * (s64 + s64.T)
+            s32 = s64.astype(np.float32)
+            pht = rng.normal(size=(n + 6, n)).astype(np.float32) * np.sqrt(
+                eigs
+            ).astype(np.float32)
+
+            l32 = np.linalg.cholesky(s32)
+            il = np.asarray(_inv_lower(jnp.asarray(l32)))
+            k_neumann = (pht @ il.T.astype(np.float32)) @ il.astype(np.float32)
+
+            k_ref = cho_solve(
+                cho_factor(s64, lower=True), pht.astype(np.float64).T
+            ).T
+            scale = np.abs(k_ref).max()
+            rel = np.abs(k_neumann - k_ref).max() / max(scale, 1e-30)
+            # fp32 + cond(L)~1e3: allow ~1e-3 relative — the Joseph-form
+            # update tolerates gain error at this level (it preserves
+            # covariance symmetry/PSD for ANY K)
+            assert rel < 2e-3, (n, rel)
