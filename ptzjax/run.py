@@ -141,6 +141,19 @@ def _parse() -> argparse.Namespace:
              "within the run",
     )
     p.add_argument(
+        "--movers", type=int, default=0,
+        help="--synthetic-images: composite N textured moving blobs (player "
+             "analogues with coherent non-camera motion) into the rendered "
+             "frames; detection masks from their bounding boxes are applied "
+             "by default (the reference's player-box masking)",
+    )
+    p.add_argument(
+        "--movers-unmasked", action="store_true",
+        help="--movers: do NOT mask the blobs out of detection — the "
+             "robustness stress: consensus pre-gate + wrong-motion slot "
+             "retirement must carry tracking (or fail loudly as 'lost')",
+    )
+    p.add_argument(
         "--platform", type=str, default=None,
         help="force a jax platform (e.g. cpu); default is the environment's",
     )
@@ -178,6 +191,7 @@ def main() -> None:
 
     # --- assemble (features, gt, intr) per mode -----------------------------
     gt = None
+    mover_meta = {}
     if args.synthetic_court:
         from ptzjax.features import synth_features
 
@@ -217,10 +231,45 @@ def main() -> None:
             args.frames, pan_amp=args.pan_amp, f0=args.f0, f_amp=args.f_amp,
             period=args.period, seed=args.seed,
         )
+        movers = None
+        if args.movers > 0:
+            movers = synth.make_moving_blobs(
+                args.frames, num_blobs=args.movers, seed=args.seed,
+            )
         imgs_all = np.stack(
-            [synth.render_image(pano, c, intr, args.width, args.height) for c in gt]
+            [
+                synth.render_image(
+                    pano, c, intr, args.width, args.height,
+                    movers=movers, frame=k,
+                )
+                for k, c in enumerate(gt)
+            ]
         )
         masks_all = None
+        if movers is not None and not args.movers_unmasked:
+            masks_all = np.stack(
+                [
+                    iolib.boxes_to_mask(
+                        synth.mover_boxes(
+                            movers, k, gt[k], intr, args.width, args.height
+                        ),
+                        args.height, args.width,
+                    )
+                    for k in range(args.frames)
+                ]
+            )
+        if movers is not None:
+            mid = args.frames // 2
+            mover_meta = {
+                "movers": args.movers,
+                "movers_masked": not args.movers_unmasked,
+                "mover_pixel_frac_mid": round(
+                    synth.mover_pixel_fraction(
+                        movers, mid, gt[mid], intr, args.width, args.height
+                    ),
+                    4,
+                ),
+            }
         cfg = _resolve_f_ref(cfg, args, gt)
         feats = _stage_image_features(args, cfg, imgs_all, masks_all)
     else:
@@ -485,6 +534,7 @@ def main() -> None:
         "frames_lost": sum(r["lost"] for r in records),
         "keyframes": sum(r["keyframe"] for r in records),
         "frontend": "fused" if fused else ("cv2" if args.frontend == "cv2" else "staged"),
+        **mover_meta,
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
