@@ -654,6 +654,67 @@ def bench_tpu_parity() -> list[dict]:
             f"max {np.abs(np.asarray(d_jax) - np.asarray(d_pal)).max()}"
         )
 
+    # 5. EKF update vs fp64 dense-H oracle ON CHIP at the product shape
+    # (N=256): gates the mixed-precision gain/Joseph matmuls (ekf._mmh,
+    # HIGH = bf16x3 on TPU — exact on CPU, so only this on-chip check sees
+    # the real rounding). Mirrors tests/test_ekf.py's oracle.
+    from ptzjax import ekf as ekflib
+    from ptzjax.config import SLAMConfig
+    from ptzjax.geometry import project_jacobians, project_rays
+
+    cfg_e = SLAMConfig(max_rays=256, sigma_obs=1.0, min_inliers=2,
+                       innovation_gate_px=1e6, gate_maha2=1e9)
+    ne = cfg_e.max_rays
+    de = 6 + 2 * ne
+    est = ekflib.init_state(np.array([0.1, -0.05, 2000.0], np.float32), cfg_e)
+    rays_e = np.stack(
+        [rng.uniform(0.0, 0.2, ne), rng.uniform(-0.15, 0.0, ne)], -1
+    ).astype(np.float32)
+    a_e = rng.normal(size=(de, de)).astype(np.float32) * 0.01
+    cov_e = a_e @ a_e.T + np.diag(rng.uniform(0.3, 1.0, de)).astype(np.float32)
+    cov_e = (0.5 * (cov_e + cov_e.T)).astype(np.float32)
+    est = est._replace(
+        rays=jnp.asarray(rays_e), cov=jnp.asarray(cov_e),
+        active=jnp.ones((ne,), bool),
+        ray_ids=jnp.arange(ne, dtype=jnp.int32),
+    )
+    pred_e = np.asarray(project_rays(est.pose, est.rays, intr))
+    obs_e = (pred_e + rng.normal(0, 1.0, pred_e.shape)).astype(np.float32)
+    new_e, stats_e = jax.jit(
+        lambda s, o: ekflib.update(s, o, jnp.ones((ne,), bool), intr, cfg_e)
+    )(est, jnp.asarray(obs_e))
+    used_e = np.asarray(stats_e.used_mask)
+    _, j_cam_e, j_ray_e = project_jacobians(est.pose, est.rays, intr)
+    jc_e = np.asarray(j_cam_e, np.float64) * used_e[:, None, None]
+    jr_e = np.asarray(j_ray_e, np.float64) * used_e[:, None, None]
+    h_e = np.zeros((2 * ne, de))
+    idx = np.arange(ne)
+    h_e[idx, 0:3] = jc_e[:, 0]
+    h_e[ne + idx, 0:3] = jc_e[:, 1]
+    h_e[idx, 6 + idx] = jr_e[:, 0, 0]
+    h_e[idx, 6 + ne + idx] = jr_e[:, 0, 1]
+    h_e[ne + idx, 6 + idx] = jr_e[:, 1, 0]
+    h_e[ne + idx, 6 + ne + idx] = jr_e[:, 1, 1]
+    p64 = np.asarray(cov_e, np.float64)
+    r64 = np.eye(2 * ne)
+    innov2 = np.where(used_e[:, None], obs_e - pred_e, 0.0)
+    innov64 = np.concatenate([innov2[:, 0], innov2[:, 1]])
+    s64 = h_e @ p64 @ h_e.T + r64
+    k64 = p64 @ h_e.T @ np.linalg.inv(s64)
+    dx64 = k64 @ innov64
+    ikh64 = np.eye(de) - k64 @ h_e
+    cov_ref = ikh64 @ p64 @ ikh64.T + k64 @ r64 @ k64.T
+    cam_err = float(
+        np.abs(np.asarray(new_e.cam[:3], np.float64)
+               - (np.asarray(est.cam[:3], np.float64) + dx64[:3])).max()
+    )
+    cov_err = float(
+        np.abs(np.asarray(new_e.cov, np.float64) - cov_ref).max()
+        / np.abs(cov_ref).max()
+    )
+    assert cam_err < 5e-3, f"on-chip EKF cam vs fp64 oracle: {cam_err}"
+    assert cov_err < 5e-3, f"on-chip EKF cov vs fp64 oracle: {cov_err}"
+
     results.append({
         "metric": "tpu_kernel_parity", "value": 1.0,
         "unit": (
@@ -661,7 +722,9 @@ def bench_tpu_parity() -> list[dict]:
             f"kp tables bitwise {n_xy_eq}/256, "
             f"match ok-agree {agree:.3f}, idx-agree {idx_agree:.4f}, "
             f"lk {ntr}/256 tracked, desc gather bitwise "
-            f"{'+'.join('yes' if e else 'NO' for e in desc_eq)})"
+            f"{'+'.join('yes' if e else 'NO' for e in desc_eq)}, "
+            f"EKF-update-vs-fp64 cam {cam_err:.1e} cov rel {cov_err:.1e} "
+            f"at N=256 mixed precision)"
         ),
         "vs_baseline": 1.0,
     })
@@ -924,6 +987,110 @@ def bench_reloc_forest_e2e() -> dict:
     }
 
 
+def bench_movers() -> dict:
+    """Mover robustness at PRODUCT scale (VERDICT r4 missing #4 / weak #6):
+    720p rendered video with >= 15% of pixels on textured moving blobs,
+    run at the TRUE default capacities (256 rays / 512 kp / 4096 map rays /
+    64 kf). Masked run (player-box masks, the reference's mechanism) must
+    track cleanly; the unmasked run must either track (consensus pre-gate
+    + wrong-motion slot retirement carrying it) or fail LOUDLY (lost flag)
+    — silent drift fails the bench."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptzjax import synth
+    from ptzjax.config import SLAMConfig
+    from ptzjax.frontend import extract_features
+    from ptzjax.geometry import Intrinsics
+    from ptzjax.io import boxes_to_mask
+    from ptzjax.slam import PTZSlam
+
+    w, h, frames = 1280, 720, 60
+    cfg = SLAMConfig(
+        image_width=w, image_height=h, sigma_obs=1.0, descriptor_f_ref=2200.0,
+    )  # all four capacities at the shipping defaults
+    intr = Intrinsics.create(w / 2.0, h / 2.0)
+    seed = 5
+    pano = synth.make_panorama(
+        theta_range=(-0.6, 0.6), phi_range=(-0.35, 0.2),
+        texels_per_rad=4400.0, seed=seed,
+    )
+    cams = synth.make_trajectory(
+        frames, pan_amp=0.12, tilt0=-0.05, tilt_amp=0.02,
+        f0=2200.0, f_amp=120.0, period=frames * 1.6, seed=seed,
+    )
+    movers = synth.make_moving_blobs(
+        frames, num_blobs=8, theta_range=(-0.35, 0.35),
+        phi_range=(-0.16, 0.0), ang_w=0.075, speed=0.006, seed=seed,
+    )
+    imgs = np.stack(
+        [
+            synth.render_image(pano, cams[k], intr, w, h,
+                               movers=movers, frame=k)
+            for k in range(frames)
+        ]
+    ).astype(np.float32)
+    masks = np.stack(
+        [
+            boxes_to_mask(
+                synth.mover_boxes(movers, k, cams[k], intr, w, h), h, w
+            )
+            for k in range(frames)
+        ]
+    )
+    frac = float(np.mean([
+        synth.mover_pixel_fraction(movers, k, cams[k], intr, w, h)
+        for k in range(0, frames, 10)
+    ]))
+    assert frac >= 0.15, f"scene not a stress: {frac:.2%} mover pixels"
+    use_pallas = jax.default_backend() == "tpu"
+
+    def run(with_masks):
+        slam = PTZSlam(cfg, intr)
+        m0 = jnp.asarray(masks[0]) if with_masks else None
+        f0 = extract_features(
+            jnp.asarray(imgs[0]), cfg, mask=m0, use_pallas=use_pallas,
+            focal=jnp.asarray(cams[0][2]),
+        )
+        state = slam.init(*f0, cams[0])
+        state, infos = slam.run_segment_pixels(
+            state, jnp.asarray(imgs[1:]),
+            masks=jnp.asarray(masks[1:]) if with_masks else None,
+            use_pallas=use_pallas,
+        )
+        infos = jax.device_get(infos)
+        lost = np.asarray(infos.lost)
+        pan_err = np.degrees(
+            np.abs(np.asarray(infos.pose)[:, 0] - cams[1:, 0])
+        )
+        return lost, pan_err
+
+    lost_m, err_m = run(True)
+    assert not lost_m.any(), f"masked mover run lost at {np.nonzero(lost_m)[0]}"
+    assert err_m.mean() < 0.2, f"masked mover run pan MAE {err_m.mean()}"
+
+    lost_u, err_u = run(False)
+    if lost_u.any():
+        unmasked = f"LOST at frame {int(np.nonzero(lost_u)[0][0]) + 1} (loud)"
+    else:
+        # claims to track -> must actually track (no silent drift)
+        assert err_u.mean() < 0.25, (
+            f"SILENT DRIFT unmasked: no lost flag, pan MAE {err_u.mean()}"
+        )
+        unmasked = f"tracked, pan MAE {err_u.mean():.4f} deg"
+    return {
+        "metric": "mover_stress_masked_pan_mae_deg",
+        "value": round(float(err_m.mean()), 5),
+        "unit": (
+            f"deg (720p, TRUE default caps, {frac:.0%} mover pixels, "
+            f"{frames} frames, masked run 0 lost; UNMASKED outcome: "
+            f"{unmasked})"
+        ),
+        "vs_baseline": 1.0,
+    }
+
+
 def bench_dist() -> dict:
     """Shard-count scaling of the BA iteration on the virtual CPU mesh.
     Functional check only (real ICI scaling needs multi-chip hardware)."""
@@ -994,6 +1161,8 @@ def _run_group(group: str) -> list[dict]:
         return [bench_flow()]
     if group == "forest":
         return [bench_reloc_forest(), bench_reloc_forest_e2e()]
+    if group == "movers":
+        return [bench_movers()]
     if group == "dist":
         return [bench_dist()]
     raise SystemExit(f"unknown group {group}")
@@ -1005,7 +1174,7 @@ def main() -> None:
     ap.add_argument(
         "--only", default=None,
         help="comma list: slam,pixels,ba,kernels,parity,frontends,flow,"
-             "forest,dist",
+             "forest,movers,dist",
     )
     ap.add_argument(
         "--raw", action="store_true",
@@ -1014,7 +1183,7 @@ def main() -> None:
     args = ap.parse_args()
     wanted = (
         args.only
-        or "slam,pixels,ba,kernels,parity,frontends,flow,forest,dist"
+        or "slam,pixels,ba,kernels,parity,frontends,flow,forest,movers,dist"
     ).split(",")
 
     if args.raw:

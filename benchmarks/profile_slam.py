@@ -176,7 +176,7 @@ def main() -> None:
                     px = 3.0 * cfg.sigma_obs + 5.0
                     inl, bc = matchlib.consensus_pan_tilt(
                         es.rays[m.idx], xy, m.ok, pose[2], intr.cx, intr.cy,
-                        inlier_px=px,
+                        inlier_px=px, score=m.score,
                     )
                     m = m._replace(
                         ok=jnp.where(bc * 2 >= m.ok.sum(), inl, m.ok)

@@ -40,10 +40,25 @@ from functools import partial
 from ptzjax.config import SLAMConfig
 from ptzjax.geometry import Intrinsics, back_project_pixels, project_jacobians
 
-# Covariance algebra must run at true fp32: TPU's default matmul precision is
-# bf16, which destroys the SPD structure of S = H P H^T + R and NaNs the
-# Cholesky (observed on v5e; CPU was fine). HIGHEST = 6-pass bf16 ~ fp32.
+# Covariance algebra must not run at the TPU DEFAULT matmul precision
+# (1-pass bf16): it destroys the SPD structure of S = H P H^T + R and NaNs
+# the Cholesky (observed on v5e; CPU was fine). Two tiers are used:
+#
+#   _mm  (HIGHEST, ~fp32): everything feeding the Cholesky (the S build's
+#        matmuls all have a 3-long contraction axis — they cost nothing)
+#        and the rare insertion/clear paths.
+#   _mmh (HIGH, bf16x3, rel err ~4e-5): the gain and Joseph-form products,
+#        the big (D,2N)x(2N,2N)-class matmuls. Measured on v5e: HIGHEST is
+#        21.7 us per (518,512)@(512,512) vs 2.8 us at HIGH — 6 such
+#        matmuls made precision the EKF update's second-biggest cost after
+#        the Cholesky. Safety: the Joseph form yields a CONSISTENT filter
+#        for ANY gain K (it computes the covariance OF the gain actually
+#        applied), so a 4e-5-relative gain perturbation is a 4e-5
+#        suboptimality, not an inconsistency; bench_tpu_parity gates the
+#        on-chip gain against an fp64 oracle at every bench run, and the
+#        10k-frame on-chip soak bounds accumulation drift.
 _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+_mmh = partial(jnp.matmul, precision=jax.lax.Precision.HIGH)
 
 
 def _inv_lower(l: jax.Array) -> jax.Array:
@@ -80,6 +95,42 @@ def _inv_lower(l: jax.Array) -> jax.Array:
         x = x + _mm(p, x)
         k *= 2
     return x * dinv[None, :]
+
+
+def _inv_chol(s: jax.Array, leaf: int = 128) -> jax.Array:
+    """L^{-1} of the Cholesky factor of SPD ``s``, via 2x2 block recursion
+    with XLA-chol leaves — so S^{-1} = il.T @ il.
+
+    XLA's TPU Cholesky is an n-step serial While loop whose per-step cost
+    grows with n (measured on v5e: 28 us at n=256, 93 us at n=512 — worse
+    than linear). The textbook block factorization
+        S = [[A, B^T], [B, C]],  L = [[L_A, 0], [L21, L_S]],
+        L21 = B L_A^{-T},  L_S = chol(C - L21 L21^T)
+    replaces one big serial factorization with two half-size ones plus
+    MXU matmuls, and because the EKF only ever consumes L^{-1}, the
+    recursion INVERTS as it factors (leaf: XLA chol + ``_inv_lower``'s
+    finite Neumann product):
+        L^{-1} = [[iLA, 0], [-iLS L21 iLA, iLS]]
+    — the leading block is never inverted twice. Exact algebra (same
+    factorization, different operation order); products feeding the Schur
+    complement run at HIGHEST (it must stay SPD). Recursing 512 -> four
+    128-leaves cuts the serial chol chain ~2x end-to-end.
+    """
+    n = s.shape[0]
+    if n <= leaf or n % 2:
+        return _inv_lower(jnp.linalg.cholesky(s))
+    h = n // 2
+    ila = _inv_chol(s[:h, :h], leaf)
+    l21 = _mm(s[h:, :h], ila.T)                    # B L_A^{-T}
+    schur = s[h:, h:] - _mm(l21, l21.T)
+    ils = _inv_chol(0.5 * (schur + schur.T), leaf)
+    off = -_mm(ils, _mm(l21, ila))
+    return jnp.concatenate(
+        [
+            jnp.concatenate([ila, jnp.zeros((h, h), s.dtype)], 1),
+            jnp.concatenate([off, ils], 1),
+        ]
+    )
 
 
 class EKFState(NamedTuple):
@@ -208,13 +259,8 @@ def update(
     innov = obs - pred_pix  # (N, 2)
 
     # Structured Kalman algebra in the BLOCKED layout (module docstring):
-    # H = [Jc | 0 | diag-blocks], never materialized, and the UNMASKED
-    # innovation covariance S_u is built FIRST so the Mahalanobis gate
-    # reads its per-slot 2x2 blocks as plain (N,N)-matrix diagonals.
-    # Masking commutes exactly: zeroing H's slot-i rows scales S rows/cols
-    # and P H^T columns by used in {0,1}, which is fp-exact, so gating
-    # AFTER building S_u changes no update value. In the blocked state
-    # each per-slot ray Jacobian entry becomes a DIAGONAL of an (N, N)
+    # H = [Jc | 0 | diag-blocks], never materialized. In the blocked state
+    # each per-slot 2x2 ray-Jacobian entry becomes a DIAGONAL of an (N, N)
     # block, so every blockdiag product below is a broadcast multiply on
     # (D, N) tiles — no (N, 2, N, 2) relayouts (those reshapes measured
     # ~90 us/frame at N=128 on v5e).
@@ -225,43 +271,40 @@ def update(
     jrc = j_ray[:, 1, 0]                                 # dy/dtheta
     jrd = j_ray[:, 1, 1]                                 # dy/dphi
 
-    p_c = state.cov[:, 0:3]                              # (D, 3)
-    p_t = state.cov[:, 6 : 6 + n]                        # (D, N) theta cols
-    p_p = state.cov[:, 6 + n :]                          # (D, N) phi cols
+    def pht_of(cov, jc, a, b):
+        """P H_c^T for one measurement component: (D, N)."""
+        return (
+            _mm(cov[:, 0:3], jc.T)
+            + cov[:, 6 : 6 + n] * a[None, :]
+            + cov[:, 6 + n :] * b[None, :]
+        )
 
-    # P H^T, measurement-blocked (x-residuals then y-residuals): (D, 2N)
-    ph_t = jnp.concatenate(
-        [
-            _mm(p_c, jcx.T) + p_t * jra[None, :] + p_p * jrb[None, :],
-            _mm(p_c, jcy.T) + p_t * jrc[None, :] + p_p * jrd[None, :],
-        ],
-        axis=1,
-    )
+    pht_x = pht_of(state.cov, jcx, jra, jrb)             # (D, N)
+    pht_y = pht_of(state.cov, jcy, jrc, jrd)
 
-    # S_u = H (P H^T): x-row block = Jcx·PHT[0:3] + a*PHT_theta + b*PHT_phi
-    pht_c = ph_t[0:3]
-    pht_t = ph_t[6 : 6 + n]
-    pht_p = ph_t[6 + n :]
-    sx = _mm(jcx, pht_c) + jra[:, None] * pht_t + jrb[:, None] * pht_p
-    sy = _mm(jcy, pht_c) + jrc[:, None] * pht_t + jrd[:, None] * pht_p
-    s = jnp.concatenate([sx, sy], axis=0)                # (2N, 2N)
+    def s_diag(pht, jc, a, b):
+        """diag(H_c (P H_e^T)) — the per-slot entry of one 2x2 gate block.
+        The ray terms are diagonals of (N, N) blocks: one masked reduce."""
+        eye_n = jnp.eye(n, dtype=jnp.float32)
+        return (
+            (jc * pht[0:3].T).sum(1)
+            + a * (pht[6 : 6 + n] * eye_n).sum(0)
+            + b * (pht[6 + n :] * eye_n).sum(0)
+        )
 
     # Mahalanobis innovation gate against the *predicted* per-slot
-    # innovation covariance S_i = (S_u 2x2 block) + R. This admits large
-    # pixel innovations while the velocity is still uncertain (right after
-    # init/reloc) and tightens as the filter converges; a fixed pixel gate
-    # deadlocks with constant-velocity startup (lost -> reloc -> zero
-    # velocity -> lost). The four entries are diagonals of S's (N, N)
-    # quadrants — one masked VPU reduce each.
-    eye_n = jnp.eye(n, dtype=jnp.float32)
+    # innovation covariance S_i = (H P H^T 2x2 block) + R. This admits
+    # large pixel innovations while the velocity is still uncertain (right
+    # after init/reloc) and tightens as the filter converges; a fixed pixel
+    # gate deadlocks with constant-velocity startup (lost -> reloc -> zero
+    # velocity -> lost). s01 == s10 exactly (P symmetric).
     sig2 = cfg.sigma_obs**2
-    s00 = (sx[:, :n] * eye_n).sum(1) + sig2
-    s01 = (sx[:, n:] * eye_n).sum(1)
-    s10 = (sy[:, :n] * eye_n).sum(1)
-    s11 = (sy[:, n:] * eye_n).sum(1) + sig2
+    s00 = s_diag(pht_x, jcx, jra, jrb) + sig2
+    s01 = s_diag(pht_y, jcx, jra, jrb)
+    s11 = s_diag(pht_y, jcy, jrc, jrd) + sig2
     ix, iy = innov[:, 0], innov[:, 1]
-    det = s00 * s11 - s01 * s10
-    maha2 = (s11 * ix**2 - (s01 + s10) * ix * iy + s00 * iy**2) / jnp.maximum(
+    det = s00 * s11 - s01 * s01
+    maha2 = (s11 * ix**2 - 2.0 * s01 * ix * iy + s00 * iy**2) / jnp.maximum(
         det, 1e-12
     )
     px_ok = jnp.linalg.norm(innov, axis=-1) < cfg.innovation_gate_px
@@ -283,10 +326,8 @@ def update(
     u1 = used.astype(jnp.float32)                        # (N,)
     innov = jnp.where(used[:, None], innov, 0.0)
 
-    # apply the gate: zero unused rows of S / cols of PHT / Jacobians
-    u2 = jnp.concatenate([u1, u1])                       # (2N,)
-    ph_t = ph_t * u2[None, :]
-    s = s * (u2[:, None] * u2[None, :])
+    # apply the gate: zero unused Jacobian rows (fp-exact commutation with
+    # every product below)
     jcx = jcx * u1[:, None]
     jcy = jcy * u1[:, None]
     jra = jra * u1
@@ -294,22 +335,44 @@ def update(
     jrc = jrc * u1
     jrd = jrd * u1
 
+    # JOINT update with a two-tier precision split. The covariance path
+    # (everything whose product lands in P) must run at HIGHEST: the state
+    # is heterogeneous (focal variance in px^2 ~1e2 vs converged angle
+    # variances ~1e-6 rad^2, cond(P) ~ 1e8), so bf16x3's ~4e-5 RELATIVE
+    # matmul error couples large-scale entries into small-scale ones and
+    # kills the SPD structure after tens of frames (observed on v5e:
+    # Cholesky NaN around frame ~79 with a HIGH Joseph form — the single-
+    # update oracle passed because its test covariance was well-scaled).
+    # The GAIN path is different: the Joseph form yields a consistent
+    # filter for ANY gain value, so K itself (and the triangular inverse
+    # feeding it) runs at HIGH (bf16x3) — a ~1e-4-relative gain
+    # perturbation is a 1e-4 suboptimality, not an instability; gated
+    # on-chip against the fp64 oracle every bench run (bench_tpu_parity).
+    ph_t = jnp.concatenate([pht_x, pht_y], axis=1) * jnp.concatenate(
+        [u1, u1]
+    )[None, :]                                           # (D, 2N), masked
+    pht_c = ph_t[0:3]
+    pht_t = ph_t[6 : 6 + n]
+    pht_p = ph_t[6 + n :]
+    sx = _mm(jcx, pht_c) + jra[:, None] * pht_t + jrb[:, None] * pht_p
+    sy = _mm(jcy, pht_c) + jrc[:, None] * pht_t + jrd[:, None] * pht_p
+    s = jnp.concatenate([sx, sy], axis=0)                # (2N, 2N)
+    s = 0.5 * (s + s.T)
     r_diag = jnp.full((2 * n,), sig2, jnp.float32)
     s = s + jnp.diag(r_diag)
-    # K = PHT S^-1 via Cholesky + the matmul-shaped triangular inverse
-    # (_inv_lower): S^-1 = L^-T L^-1, so the two n-step substitution loops
-    # become two MXU matmuls.
-    l_f = jnp.linalg.cholesky(s)
-    il = _inv_lower(l_f)
-    k = _mm(_mm(ph_t, il.T), il)                         # (D, 2N)
+    # K = PHT S^-1: S^-1 = L^-T L^-1 with L^-1 from the blocked
+    # factor-and-invert recursion (_inv_chol) — XLA 128-chol leaves plus
+    # Neumann-product matmul algebra; no full-size substitution loops.
+    il = _inv_chol(s)
+    k = _mmh(_mmh(ph_t, il.T), il)                       # (D, 2N)
 
     dx = k @ jnp.concatenate([innov[:, 0], innov[:, 1]])
     cam = state.cam + dx[:6]
     rays = state.rays + jnp.stack([dx[6 : 6 + n], dx[6 + n :]], axis=-1)
 
-    # Joseph-form covariance update for fp32 stability. K H reuses the
-    # blocked structure: cols 0:3 = K·[Jcx; Jcy], cols 3:6 = 0, the theta
-    # column block = Kx*diag(a) + Ky*diag(c) (broadcast multiplies).
+    # Joseph-form covariance update for fp32 stability (HIGHEST tier).
+    # K H reuses the blocked structure: cols 0:3 = K·[Jcx; Jcy], cols 3:6
+    # = 0, the theta column block = Kx*diag(a) + Ky*diag(c) (broadcasts).
     kx = k[:, :n]
     ky = k[:, n:]
     kh = jnp.concatenate(

@@ -184,14 +184,25 @@ def consensus_pan_tilt(
     cy: float,
     inlier_px: float = 6.0,
     focal_correct: bool = True,
+    score: jax.Array | None = None,
+    max_hypotheses: int = 256,
 ) -> tuple[jax.Array, jax.Array]:
     """Exhaustive pan-tilt consensus: EVERY candidate match votes.
 
     Deterministic, sampling-free variant of ``ransac_pan_tilt`` for the
-    per-frame tracking pre-gate (VERDICT r3 item 3): with Q <= 512 the full
+    per-frame tracking pre-gate (VERDICT r3 item 3): with Q <= 256 the full
     (Q, Q) hypothesis-vs-match table is one cheap batched computation, so
     there is no reason to subsample hypotheses (a fixed-key subsample
     collapses onto few distinct votes when the ok-density is low).
+
+    Above ``max_hypotheses`` candidates the HYPOTHESIS axis is cut to the
+    top-``max_hypotheses`` matches by ``score`` (deterministic top-k, ok
+    rows first) while every match still gets scored as an inlier — the
+    (Q, Q) transcendental table at Q = 512 was 4x the 256-row cost for no
+    accuracy gain (VERDICT r4 item 2): only ONE good static hypothesis is
+    needed, and the statics dominate any trackable frame, so the best
+    static vote survives any top-256 cut. Scoreless calls fall back to
+    ok-ordering (still deterministic).
 
     ``focal_correct`` makes the score robust to a focal-estimate bias: a
     wrong focal spreads static-scene residuals RADIALLY (d pred / d f =
@@ -210,12 +221,25 @@ def consensus_pan_tilt(
       Callers should fall back to per-match gating when ``best_count`` is
       not a clear majority — a split consensus must not starve the filter.
     """
+    q = rays.shape[0]
     u = jnp.arctan2(xy[:, 0] - cx, focal)
     pan_i = rays[:, 0] - u
     tilt_i = rays[:, 1] - jnp.arctan2(-(xy[:, 1] - cy) * jnp.cos(u), focal)
 
-    du = rays[None, :, 0] - pan_i[:, None]                   # (Q, Q)
-    dv = rays[None, :, 1] - tilt_i[:, None]
+    if q > max_hypotheses:
+        # deterministic hypothesis cut: ok candidates ranked by match score
+        rank = jnp.where(
+            ok, 0.0 if score is None else score.astype(jnp.float32), _NEG
+        )
+        _, hyp_idx = jax.lax.top_k(rank, max_hypotheses)     # (H,)
+        h_pan = pan_i[hyp_idx]
+        h_tilt = tilt_i[hyp_idx]
+        hyp_ok = ok[hyp_idx]
+    else:
+        h_pan, h_tilt, hyp_ok = pan_i, tilt_i, ok
+
+    du = rays[None, :, 0] - h_pan[:, None]                   # (H, Q)
+    dv = rays[None, :, 1] - h_tilt[:, None]
     tx = jnp.tan(du)
     ty = -jnp.tan(dv) / jnp.cos(du)
     ex = xy[None, :, 0] - (focal * tx + cx)
@@ -229,8 +253,8 @@ def consensus_pan_tilt(
         ex = ex - df[:, None] * tx
         ey = ey - df[:, None] * ty
     err2 = ex * ex + ey * ey
-    inl = ok[None, :] & (err2 < inlier_px * inlier_px)       # (Q, Q)
-    counts = jnp.where(ok, inl.sum(axis=1), -1)              # invalid: -1
+    inl = ok[None, :] & (err2 < inlier_px * inlier_px)       # (H, Q)
+    counts = jnp.where(hyp_ok, inl.sum(axis=1), -1)          # invalid: -1
     best = jnp.argmax(counts)
 
     # refit-and-rescore: the winning hypothesis carries its OWN observation

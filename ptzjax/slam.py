@@ -341,7 +341,7 @@ def _track_frame(
         )
         inl, best_count = matchlib.consensus_pan_tilt(
             ekf_state.rays[m.idx], xy, m.ok, pose[2], intr.cx, intr.cy,
-            inlier_px=px,
+            inlier_px=px, score=m.score,
         )
         dominant = best_count * 2 >= m.ok.sum()
         matched_any = m.ok  # pre-consensus: still a SLOT's observation
