@@ -21,6 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--caps", nargs=2, type=int, default=[128, 256],
+                    metavar=("MAX_RAYS", "MAX_KP"))
+    ap.add_argument("--map-caps", nargs=2, type=int, default=[2048, 32],
+                    metavar=("MAX_MAP_RAYS", "MAX_KF"))
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -40,8 +49,9 @@ def main() -> None:
 
     w, h = 1280, 720
     cfg = SLAMConfig(
-        image_width=w, image_height=h, max_rays=128, max_keypoints=256,
-        max_map_rays=2048, max_keyframes=32, kf_desc_dim=128, sigma_obs=1.0,
+        image_width=w, image_height=h, max_rays=args.caps[0],
+        max_keypoints=args.caps[1], max_map_rays=args.map_caps[0],
+        max_keyframes=args.map_caps[1], kf_desc_dim=128, sigma_obs=1.0,
         descriptor_f_ref=2000.0,
     )
     intr = Intrinsics.create(w / 2.0, h / 2.0)
