@@ -291,6 +291,32 @@ class TestCholeskySolve:
             # strictly triangular: no garbage above the diagonal
             assert np.abs(np.triu(il, 1)).max() == 0.0, n
 
+    def test_inv_chol_blocked_matches_dense(self):
+        """_inv_chol (production: ekf.update's solve) must equal
+        inv(cholesky(S)) to fp32 accuracy across the leaf case and the
+        2x2 block recursion (192/256/512), including an ill-conditioned
+        S at post-reloc scales."""
+        from ptzjax.ekf import _inv_chol
+
+        rng = np.random.default_rng(3)
+        for n, spread in ((128, 2), (192, 3), (256, 4), (512, 6)):
+            eigs = np.logspace(0, spread, n)
+            q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+            s = ((q * eigs) @ q.T).astype(np.float32)
+            s = 0.5 * (s + s.T)
+            il = np.asarray(_inv_chol(jnp.asarray(s)))
+            # il is L^{-1}: il @ L == I and il.T @ il == S^{-1}
+            l = np.linalg.cholesky(s.astype(np.float64))
+            err = np.abs(il @ l - np.eye(n)).max()
+            assert err < 5e-4 * 10 ** (spread / 3), (n, err)
+            sinv = np.linalg.inv(s.astype(np.float64))
+            rel = np.abs(il.T @ il - sinv).max() / np.abs(sinv).max()
+            # explicit-inverse forward error scales with cond(S) = 10^spread
+            # (fp32 eps ~1e-7); the EKF's real S measures cond ~3e3
+            assert rel < 100.0 * 1e-7 * 10**spread, (n, rel)
+            # strictly lower triangular
+            assert np.abs(np.triu(il, 1)).max() == 0.0, n
+
     def test_inv_lower_ill_conditioned_gain(self):
         """ADVICE r4: _inv_lower's explicit inverse has forward error
         growing with cond(L), unlike backward-stable substitution. Post-

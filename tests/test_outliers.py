@@ -181,6 +181,55 @@ def test_slam_outlier_purity_sigma2():
     )
 
 
+def test_consensus_hypothesis_cap_matches_full():
+    """Q = 512 > max_hypotheses: the top-256-by-score hypothesis cut
+    (VERDICT r4 item 2 association cost) must produce the same inlier set
+    as exhaustive hypotheses on a static-majority scene with a coherent
+    wrong-motion (mover) cluster, and must reject the movers."""
+    import jax.numpy as jnp
+
+    from ptzjax import match as matchlib
+
+    rng = np.random.default_rng(7)
+    q = 512
+    cx, cy, f = 640.0, 360.0, 2000.0
+    pan, tilt = 0.08, -0.04
+    # statics: rays consistent with (pan, tilt); movers: coherent offset
+    rays = np.stack(
+        [rng.uniform(-0.2, 0.2, q) + pan, rng.uniform(-0.1, 0.1, q) + tilt],
+        -1,
+    ).astype(np.float32)
+    is_mover = np.zeros(q, bool)
+    is_mover[400:] = True
+    du = rays[:, 0] - pan
+    dv = rays[:, 1] - tilt
+    px = f * np.tan(du) + cx
+    py = -f * np.tan(dv) / np.cos(du) + cy
+    # movers: displaced by a COHERENT wrong motion (same angular offset)
+    px = np.where(is_mover, px + 40.0, px) + rng.normal(0, 0.5, q)
+    py = np.where(is_mover, py + 25.0, py) + rng.normal(0, 0.5, q)
+    xy = np.stack([px, py], -1).astype(np.float32)
+    ok = jnp.ones((q,), bool)
+    score = jnp.asarray(rng.uniform(0.6, 1.0, q).astype(np.float32))
+
+    inl_cap, cnt_cap = matchlib.consensus_pan_tilt(
+        jnp.asarray(rays), jnp.asarray(xy), ok, jnp.asarray(f), cx, cy,
+        inlier_px=8.0, score=score, max_hypotheses=256,
+    )
+    inl_full, cnt_full = matchlib.consensus_pan_tilt(
+        jnp.asarray(rays), jnp.asarray(xy), ok, jnp.asarray(f), cx, cy,
+        inlier_px=8.0, score=score, max_hypotheses=512,
+    )
+    inl_cap = np.asarray(inl_cap)
+    inl_full = np.asarray(inl_full)
+    assert int(cnt_cap) >= 390 and int(cnt_full) >= 390
+    # movers rejected by both
+    assert not inl_cap[is_mover].any()
+    assert not inl_full[is_mover].any()
+    # the capped hypothesis set finds the same consensus
+    assert (inl_cap == inl_full).mean() > 0.99, (inl_cap != inl_full).sum()
+
+
 def test_slam_outlier_purity_sigma3():
     """sigma_obs = 3 px + 20% outliers: upper end of broadcast keypoint
     noise; same default constants."""
