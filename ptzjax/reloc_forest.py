@@ -21,9 +21,28 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from functools import lru_cache
+
 from ptzjax.config import SLAMConfig
 from ptzjax.geometry import Intrinsics
 from ptzjax.reloc import RelocResult, solve_from_correspondences
+
+
+@lru_cache(maxsize=8)
+def _solve_jit(cfg: SLAMConfig, f_range, num_f, tol_px):
+    """Jitted pose solve for the HOST-side forest path. ``relocalize``/
+    ``relocalize_keyframes`` run inside the already-jitted frame step, but
+    the forest path calls the solve from eager Python — on the tunneled
+    TPU backend, eager per-op dispatch made one recovery cost ~1.7 s vs
+    ~30 ms jitted (measured round 5, forest_reloc_e2e bench)."""
+    import jax
+
+    return jax.jit(
+        lambda mrays, xy, w, intr: solve_from_correspondences(
+            mrays, xy, w, intr, cfg,
+            f_range=f_range, num_f=num_f, tol_px=tol_px,
+        )
+    )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC_DIR = os.path.join(_REPO, "cpp", "reloc_forest")
@@ -203,8 +222,16 @@ def relocalize_rf(
             matched_ok=jnp.zeros((q,), bool),
         )
     w = jnp.asarray(np.asarray(valid, bool) & (pred.conf >= min_conf))
-    pose, inl, n, success = solve_from_correspondences(
-        jnp.asarray(pred.rays), jnp.asarray(xy), w, intr, cfg, **solve_kw
+    fn = _solve_jit(
+        cfg,
+        solve_kw.pop("f_range", (800.0, 6000.0)),
+        solve_kw.pop("num_f", 32),
+        solve_kw.pop("tol_px", 8.0),
+    )
+    if solve_kw:
+        raise TypeError(f"unsupported solve kwargs: {sorted(solve_kw)}")
+    pose, inl, n, success = fn(
+        jnp.asarray(pred.rays), jnp.asarray(xy), w, intr
     )
     return RelocResult(
         pose=pose,
