@@ -93,12 +93,42 @@ class SLAMConfig:
     max_keyframes: int = 64
     max_map_rays: int = 4096
     keyframe_overlap: float = 0.55    # insert keyframe when view overlap drops
+    keyframe_zoom_ratio: float = 1.12 # ALSO insert when the focal differs by
+                                      # this ratio from EVERY stored keyframe
+                                      # (the reference's pan/ZOOM criterion:
+                                      # view_overlap normalizes by the
+                                      # narrower FOV, so zoom-in reads as
+                                      # overlap 1.0 and a zoom sweep never
+                                      # triggered inserts — a 10k-frame soak
+                                      # then ran pure-EKF and gauge-drifted
+                                      # the focal to NaN; r5). <= 1 disables
     kf_desc_dim: int = 128
 
     # --- map ray lifecycle (cull/merge — reference scene_map.py, SURVEY §3) ---
     ray_cull_age: int = 90            # frames a views==0 ray may go unseen
     merge_angle_tol: float = 1.5e-3   # rad: duplicate-ray merge radius
     merge_desc_min: float = 0.85      # min descriptor cosine to merge/dedupe
+    anchor_snap_tol: float = 5e-4     # rad: frame-path re-claim radius —
+                                      # TIGHTER than merge_angle_tol (a
+                                      # genuine re-detection back-projects
+                                      # within ~pixel-noise/f ~ 2.5e-4 rad;
+                                      # the reloc-scale 1.5e-3 tolerance
+                                      # merged distinct landmarks and
+                                      # contaminated BA tracks with ~3 px
+                                      # biased observations)
+    anchor_snap_desc_min: float = 0.9 # min descriptor cosine for a frame-
+                                      # path re-claim
+    map_anchor: bool = True           # keyframe-observed rays (views > 0)
+                                      # are gauge anchors: per-frame slot
+                                      # writeback skips them (only BA moves
+                                      # them) and fresh slot claims snap to
+                                      # existing map rays instead of re-
+                                      # back-projecting through the current
+                                      # pose. Without this, hour-scale runs
+                                      # random-walk the focal/angular-scale
+                                      # near-gauge until the focal collapses
+                                      # (r5 10k soak: exponential runaway at
+                                      # ~frame 1800). False = r1-r4 behavior
 
     # --- bundle adjustment (SURVEY.md §8.4) ---
     ba_max_views_per_ray: int = 8     # C: observation-table columns per ray

@@ -162,19 +162,32 @@ def update_rays(
     rays: jax.Array,
     mask: jax.Array,
     frame_idx: jax.Array | int | None = None,
+    respect_anchors: bool = False,
 ) -> RayStore:
     """Write refined ray estimates (EKF slots or BA output) back by id.
 
     ``mask`` must only admit slots whose observation was actually confirmed
     this frame (gate-passed) — writing gate-rejected slot estimates lets a
     corrupted slot poison the map ray later used by reloc/BA.
+
+    ``respect_anchors=True`` (the per-frame tracking path) skips the VALUE
+    write for keyframe-observed rays (views > 0): those are the map's
+    gauge anchors — dragging them with the filter every frame lets the
+    whole map+pose system random-walk its unobservable modes (the focal/
+    angular-scale near-gauge), which a 10k-frame soak turned into an
+    exponential focal collapse (r5). Anchored rays move ONLY through
+    bundle adjustment (windowed or offline). ``last_seen`` is stamped for
+    every confirmed observation either way (lifecycle bookkeeping).
     """
     m = store.rays.shape[0]
-    tgt = jnp.where(mask & (ids >= 0), ids, m)
-    new_rays = store.rays.at[tgt].set(rays, mode="drop")
+    ok = mask & (ids >= 0)
+    vmask = ok
+    if respect_anchors:
+        vmask = vmask & (store.views[jnp.clip(ids, 0, m - 1)] == 0)
+    new_rays = store.rays.at[jnp.where(vmask, ids, m)].set(rays, mode="drop")
     if frame_idx is None:
         return store._replace(rays=new_rays)
-    seen = store.last_seen.at[tgt].set(
+    seen = store.last_seen.at[jnp.where(ok, ids, m)].set(
         jnp.asarray(frame_idx, jnp.int32), mode="drop"
     )
     return store._replace(rays=new_rays, last_seen=seen)
@@ -363,6 +376,21 @@ def max_overlap_with_keyframes(
     cfg.keyframe_overlap (SURVEY.md §4.2)."""
     ov = view_overlap(store.poses, pose[None, :], width, height)
     return jnp.max(jnp.where(store.valid, ov, 0.0))
+
+
+def min_zoom_departure(store: KeyframeStore, pose: jax.Array) -> jax.Array:
+    """Smallest focal ratio (>= 1) between ``pose`` and any stored
+    keyframe — the ZOOM half of the reference's pan/zoom insertion
+    criterion (SURVEY.md §1.3/§4.2). ``view_overlap`` normalizes by the
+    narrower FOV, so a zoom-IN is fully contained (overlap 1.0) and a
+    pure zoom sweep never departs by overlap alone; this metric does:
+    insert when it exceeds cfg.keyframe_zoom_ratio, i.e. the current
+    focal differs by that factor from EVERY keyframe. Returns +inf with
+    no valid keyframes (callers insert immediately)."""
+    f = jnp.maximum(pose[2], 1e-6)
+    fk = jnp.maximum(store.poses[:, 2], 1e-6)
+    ratio = jnp.maximum(f / fk, fk / f)
+    return jnp.min(jnp.where(store.valid, ratio, jnp.inf))
 
 
 def build_ba_problem(

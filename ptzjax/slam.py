@@ -241,31 +241,50 @@ def _bootstrap(state: SlamState, xy, desc, valid, *, cfg, intr) -> SlamState:
     return _insert_keyframe(state, xy, desc, valid, cfg=cfg, intr=intr)
 
 
-def _grow_map(state: SlamState, xy, desc, cand_mask, *, cfg, intr, dedupe=False):
+def _grow_map(
+    state: SlamState, xy, desc, cand_mask, *, cfg, intr, dedupe=False,
+    dedupe_tol=None, dedupe_desc_min=None,
+):
     """Insert candidate keypoints as new EKF slots + global rays.
 
-    With ``dedupe=True`` (reloc re-seeding), candidates whose back-projected
-    ray lands within ``cfg.merge_angle_tol`` of a live map ray with agreeing
-    descriptor REUSE that ray's id instead of allocating a duplicate —
-    repeated relocalizations must not bloat the bounded store with clones of
-    landmarks it already holds.
+    With ``dedupe=True``, candidates whose back-projected ray lands within
+    ``dedupe_tol`` (default cfg.merge_angle_tol) of a live map ray with
+    agreeing descriptor REUSE that ray's id — and its VALUE — instead of
+    allocating a duplicate. Two callers, two tolerances: the reloc re-seed
+    uses the wide merge_angle_tol (post-reloc pose error is large); the
+    per-frame map-anchoring path uses the tight cfg.anchor_snap_tol (a
+    genuine re-detection back-projects within ~pixel-noise/f).
     """
     from ptzjax.geometry import back_project_pixels
 
     new_rays = back_project_pixels(state.ekf.pose, xy, intr)
     reuse_ids = jnp.full((xy.shape[0],), -1, jnp.int32)
     if dedupe:
+        tol = cfg.merge_angle_tol if dedupe_tol is None else dedupe_tol
+        dmin = (
+            cfg.merge_desc_min if dedupe_desc_min is None else dedupe_desc_min
+        )
         store = state.rays
+        mcap_s = store.rays.shape[0]
         d2 = ((new_rays[:, None, :] - store.rays[None, :, :]) ** 2).sum(-1)
         cos = jnp.matmul(
-            desc, store.desc.T, precision=jax.lax.Precision.HIGHEST
+            desc, store.desc.T, precision=jax.lax.Precision.HIGH
         )
-        near = (
+        # a ray currently held by an ACTIVE slot must not be re-claimed by
+        # a second slot (double writeback + double view bookkeeping); its
+        # near-duplicates are also dropped from fresh allocation below
+        act_ids = jnp.where(state.ekf.active, state.ekf.ray_ids, -1)
+        held = (
+            jnp.arange(mcap_s, dtype=jnp.int32)[:, None] == act_ids[None, :]
+        ).any(1)
+        near_any = (
             store.valid[None, :]
-            & (d2 < cfg.merge_angle_tol**2)
-            & (cos >= cfg.merge_desc_min)
+            & (d2 < tol**2)
+            & (cos >= dmin)
         )
+        near = near_any & ~held[None, :]
         has = near.any(axis=1)
+        has_any = near_any.any(axis=1)
         nearest = jnp.argmin(
             jnp.where(near, d2, jnp.inf), axis=1
         ).astype(jnp.int32)
@@ -280,9 +299,10 @@ def _grow_map(state: SlamState, xy, desc, cand_mask, *, cfg, intr, dedupe=False)
         ].min(jnp.arange(q, dtype=jnp.int32), mode="drop")
         is_first = winner[nearest] == jnp.arange(q, dtype=jnp.int32)
         reuse_ids = jnp.where(cand_mask & has & is_first, nearest, -1)
-        # losers are still duplicates of an existing ray — drop them from
-        # fresh allocation too, don't clone the landmark
-        cand_mask = cand_mask & ~has
+        # losers are still duplicates of an existing ray (including rays a
+        # live slot already holds) — drop them from fresh allocation too,
+        # don't clone the landmark
+        cand_mask = cand_mask & ~has_any
     # only allocate map rows for candidates that will claim a free EKF slot —
     # otherwise every frame's unmatched features leak permanent map rays and
     # exhaust the store within seconds of video
@@ -297,6 +317,22 @@ def _grow_map(state: SlamState, xy, desc, cand_mask, *, cfg, intr, dedupe=False)
     ekf_state = ekflib.insert_rays(
         state.ekf, xy, accept, ids, intr, cfg
     )
+    if dedupe:
+        # snap newly claimed slots to the MAP value (for fresh allocations
+        # this equals the back-projection they were seeded with): re-
+        # claimed anchored rays re-enter the filter at their anchored
+        # estimates, which is what arrests the slot-churn gauge ratchet
+        # (every fresh back-projection inherits the current pose error;
+        # map values do not). Same precedent as the reloc re-seed.
+        claim0 = ekflib.claim_slots(state.ekf.active, accept)
+        snap = claim0.newly & (ekf_state.ray_ids >= 0)
+        ekf_state = ekf_state._replace(
+            rays=jnp.where(
+                snap[:, None],
+                rays_store.rays[jnp.clip(ekf_state.ray_ids, 0, None)],
+                ekf_state.rays,
+            )
+        )
     # record descriptors on the slots that were just claimed (same
     # deterministic claim as insert_rays; gather + select, no scatter)
     claim = ekflib.claim_slots(state.ekf.active, accept)
@@ -404,6 +440,7 @@ def _track_frame(
             ekf_state.rays,
             ekf_state.active & stats.used_mask,
             frame_idx=state.frame_idx,
+            respect_anchors=cfg.map_anchor,
         )
     )
 
@@ -422,7 +459,11 @@ def _track_frame(
     # inserting it every frame would churn duplicate rays through the
     # bounded slot table and crowd out durable statics
     fresh = valid & ~matched_any & ~stats.lost
-    state, _ = _grow_map(state, xy, desc, fresh, cfg=cfg, intr=intr)
+    state, _ = _grow_map(
+        state, xy, desc, fresh, cfg=cfg, intr=intr, dedupe=cfg.map_anchor,
+        dedupe_tol=cfg.anchor_snap_tol,
+        dedupe_desc_min=cfg.anchor_snap_desc_min,
+    )
 
     max_ov = mapstore.max_overlap_with_keyframes(
         state.kf, pose, cfg.image_width, cfg.image_height
@@ -672,6 +713,16 @@ def _frame_step(state: SlamState, xy, desc, valid, *, cfg, intr):
     def do_track(_):
         s2, info = _track_frame(state, xy, desc, valid, cfg=cfg, intr=intr)
         insert = (~info.lost) & (info.max_kf_overlap < cfg.keyframe_overlap)
+        if cfg.keyframe_zoom_ratio > 1.0:
+            # zoom half of the pan/zoom criterion: overlap alone reads
+            # zoom-in as full containment (see mapstore.min_zoom_departure)
+            insert = insert | (
+                (~info.lost)
+                & (
+                    mapstore.min_zoom_departure(s2.kf, s2.ekf.pose)
+                    > cfg.keyframe_zoom_ratio
+                )
+            )
 
         def do_insert(s):
             s = _insert_keyframe(s, xy, desc, valid, cfg=cfg, intr=intr)

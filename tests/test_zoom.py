@@ -139,6 +139,24 @@ def test_tracking_through_2x_zoom():
     assert f_err.mean() < 40.0, f_err.mean()
 
 
+def test_zoom_sweep_inserts_keyframes():
+    """A pure zoom sweep (no pan) must INSERT keyframes via the zoom half
+    of the pan/zoom criterion (cfg.keyframe_zoom_ratio): view_overlap reads
+    zoom-in as full containment, and with zero inserts the loop runs
+    pure-EKF and gauge-drifts over long sequences (the r5 10k-soak focal
+    collapse). The windowed BA those inserts trigger is the anti-drift
+    anchor."""
+    frames = 50
+    cfg = _cfg()
+    cams, state, infos = _run_zoom_sequence(
+        cfg, frames, f0=F_REF, f_amp=450.0, seed=4, pan_amp=0.0
+    )
+    assert not any(i["lost"] for i in infos)
+    inserts = sum(bool(i["keyframe"]) for i in infos)
+    # f sweeps F_REF +- 450 (ratio ~1.7 end to end) => several 12% steps
+    assert inserts >= 2, f"zoom sweep inserted only {inserts} keyframes"
+
+
 def test_reloc_after_zoom():
     """Lose tracking mid-zoom (blackout) and recover against a map whose
     descriptors were recorded at a different focal: zoom-normalized
