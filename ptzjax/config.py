@@ -102,6 +102,19 @@ class SLAMConfig:
                                       # triggered inserts — a 10k-frame soak
                                       # then ran pure-EKF and gauge-drifted
                                       # the focal to NaN; r5). <= 1 disables
+    keyframe_interval: int = 150      # ALSO insert a keyframe every N frames
+                                      # regardless of overlap/zoom: the
+                                      # windowed BA + covariance-gated pose
+                                      # re-seed at insert time are the ONLY
+                                      # drift-bounding events, and a near-
+                                      # stationary camera can otherwise run
+                                      # thousands of frames without one —
+                                      # long enough for the focal/scale
+                                      # gauge random walk to turn into a
+                                      # runaway (r5 soak). The bounded store
+                                      # evicts redundant keyframes, so the
+                                      # cadence costs capacity churn, not
+                                      # capacity. 0 disables
     kf_desc_dim: int = 128
 
     # --- map ray lifecycle (cull/merge — reference scene_map.py, SURVEY §3) ---

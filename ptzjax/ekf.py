@@ -387,17 +387,27 @@ def update(
     ikh = jnp.eye(d, dtype=jnp.float32) - kh
     cov = _mm(_mm(ikh, state.cov), ikh.T) + _mm(k * r_diag[None, :], k.T)
     cov = 0.5 * (cov + cov.T)
+    # numerical hygiene: fp32 Joseph products under large gains (ill-
+    # conditioned S while the geometry is degrading) can push a diagonal
+    # entry NEGATIVE; a negative variance silently disables every
+    # chi-square test downstream (NaN sigma comparisons are False) and
+    # turns a correctable drift into a death spiral (observed in the r5
+    # 10k soak). Floor the diagonal; a filter whose state went non-finite
+    # declares LOST (relocalization re-initializes it cleanly).
+    dg = jnp.diagonal(cov)
+    cov = cov + jnp.diag(jnp.maximum(dg, 1e-8) - dg)
 
     num_used = used.sum()
     num_obs = offered.sum()
     rms = jnp.sqrt(
         jnp.sum(innov**2) / jnp.maximum(1.0, 2.0 * num_used.astype(jnp.float32))
     )
+    finite = jnp.isfinite(cam).all() & jnp.isfinite(dg).all()
     stats = UpdateStats(
         num_used=num_used,
         num_observed=num_obs,
         innovation_rms=rms,
-        lost=num_used < cfg.min_inliers,
+        lost=(num_used < cfg.min_inliers) | ~finite,
         used_mask=used,
     )
     missed = jnp.where(used, 0, state.missed + state.active.astype(jnp.int32))

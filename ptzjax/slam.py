@@ -687,13 +687,35 @@ def _windowed_ba(state: SlamState, *, cfg, intr) -> SlamState:
     # pose is NOISIER than the EKF's — only re-seed when the BA pose
     # disagrees beyond the filter's own 3-sigma (the signature of drift:
     # an overconfident, biased filter). Healthy runs make this a no-op.
+    # Guards (r5 soak): the variance floor keeps the gate meaningful, the
+    # finite check keeps a diverged BA from seeding garbage, and a firing
+    # re-seed must also INFLATE the pose covariance — jumping the pose
+    # while P still claims sub-pixel certainty lets the filter's drifted
+    # ray field pull the camera straight back to the drifted solution
+    # within a few frames (observed: partial corrections that never stuck).
     delta = res.cams[0] - state.ekf.pose
-    p_diag = jnp.diagonal(state.ekf.cov)[0:3]
-    drifted = jnp.any(delta * delta > 9.0 * p_diag)
+    p_diag = jnp.maximum(jnp.diagonal(state.ekf.cov)[0:3], 1e-8)
+    drifted = jnp.any(delta * delta > 9.0 * p_diag) & jnp.isfinite(
+        res.cams[0]
+    ).all()
     cam = jnp.where(
         drifted, state.ekf.cam.at[0:3].set(res.cams[0]), state.ekf.cam
     )
-    ekf = state.ekf._replace(cam=cam)
+    d_state = 6 + 2 * state.ekf.capacity
+    pose_rows = jnp.arange(d_state) < 3
+    # zero pose cross-covariances, set a BA-accuracy pose prior
+    cov_inflated = jnp.where(
+        pose_rows[:, None] | pose_rows[None, :], 0.0, state.ekf.cov
+    ) + jnp.diag(
+        jnp.concatenate(
+            [
+                jnp.asarray([1e-5, 1e-5, 25.0], jnp.float32),
+                jnp.zeros((d_state - 3,), jnp.float32),
+            ]
+        )
+    )
+    cov = jnp.where(drifted, cov_inflated, state.ekf.cov)
+    ekf = state.ekf._replace(cam=cam, cov=cov)
     return state._replace(
         kf=kf._replace(poses=new_poses),
         rays=state.rays._replace(rays=new_rays),
@@ -722,6 +744,15 @@ def _frame_step(state: SlamState, xy, desc, valid, *, cfg, intr):
                     mapstore.min_zoom_departure(s2.kf, s2.ekf.pose)
                     > cfg.keyframe_zoom_ratio
                 )
+            )
+        if cfg.keyframe_interval > 0:
+            # temporal cadence: the insert-time windowed BA + 3-sigma pose
+            # re-seed are the drift-bounding events; never run more than
+            # keyframe_interval frames without one (config.py rationale)
+            last_kf = jnp.max(jnp.where(s2.kf.valid, s2.kf.frame_idx, -1))
+            insert = insert | (
+                (~info.lost)
+                & ((s2.frame_idx - last_kf) >= cfg.keyframe_interval)
             )
 
         def do_insert(s):
