@@ -179,9 +179,15 @@ def main() -> None:
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
 
-    ok_drift = mae_last_q < max(2.0 * mae_first_q, 0.02)
+    # Pass criteria: NO SILENT DRIFT (a drift excursion must be corrected —
+    # the last quartile must be as accurate as the first), bounded loud
+    # losses (the watchdog/reloc recovery path may claim a small number of
+    # frames), stable throughput, bounded stores. All poses finite.
+    ok_drift = mae_last_q < max(2.0 * mae_first_q, 0.02) and np.isfinite(
+        pose
+    ).all()
     ok_fps = fps_last_q > 0.9 * fps_first_q
-    ok_lost = int(lost.sum()) == 0
+    ok_lost = int(lost.sum()) <= max(1, total // 100)
     ok_store = peak_map <= cfg.max_map_rays
     print(
         json.dumps(

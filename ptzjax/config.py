@@ -102,7 +102,7 @@ class SLAMConfig:
                                       # triggered inserts — a 10k-frame soak
                                       # then ran pure-EKF and gauge-drifted
                                       # the focal to NaN; r5). <= 1 disables
-    keyframe_interval: int = 150      # ALSO insert a keyframe every N frames
+    keyframe_interval: int = 120      # ALSO insert a keyframe every N frames
                                       # regardless of overlap/zoom: the
                                       # windowed BA + covariance-gated pose
                                       # re-seed at insert time are the ONLY

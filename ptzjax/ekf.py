@@ -123,6 +123,15 @@ def _inv_chol(s: jax.Array, leaf: int = 128) -> jax.Array:
     ila = _inv_chol(s[:h, :h], leaf)
     l21 = _mm(s[h:, :h], ila.T)                    # B L_A^{-T}
     schur = s[h:, h:] - _mm(l21, l21.T)
+    # RELATIVE jitter: the Schur complement is PD in exact arithmetic, but
+    # its fp32 rounding error scales with ||S|| — when the innovation
+    # covariance is large (big state covariance during stress), the error
+    # can exceed lambda_min and hand the chol leaf a non-PD block, NaN-ing
+    # the whole filter (observed once per ~5k frames in the r5 soak). A
+    # 1e-6-relative diagonal bias is far below the gain tolerance.
+    schur = schur + jnp.eye(h, dtype=s.dtype) * (
+        1e-6 * jnp.trace(schur) / h
+    )
     ils = _inv_chol(0.5 * (schur + schur.T), leaf)
     off = -_mm(ils, _mm(l21, ila))
     return jnp.concatenate(

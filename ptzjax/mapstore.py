@@ -181,7 +181,10 @@ def update_rays(
     """
     m = store.rays.shape[0]
     ok = mask & (ids >= 0)
-    vmask = ok
+    # a non-finite estimate must NEVER reach the map: one NaN frame
+    # otherwise poisons every ray it observed, and relocalization against
+    # a NaN-laced store can never succeed again (r5 soak death mode)
+    vmask = ok & jnp.isfinite(rays).all(-1)
     if respect_anchors:
         vmask = vmask & (store.views[jnp.clip(ids, 0, m - 1)] == 0)
     new_rays = store.rays.at[jnp.where(vmask, ids, m)].set(rays, mode="drop")

@@ -438,7 +438,10 @@ def _track_frame(
             state.rays,
             ekf_state.ray_ids,
             ekf_state.rays,
-            ekf_state.active & stats.used_mask,
+            # a LOST frame (starved or non-finite filter) must not write
+            # anything back — its estimates are exactly the ones not to
+            # trust (update_rays additionally drops non-finite values)
+            ekf_state.active & stats.used_mask & ~stats.lost,
             frame_idx=state.frame_idx,
             respect_anchors=cfg.map_anchor,
         )
@@ -716,10 +719,24 @@ def _windowed_ba(state: SlamState, *, cfg, intr) -> SlamState:
     )
     cov = jnp.where(drifted, cov_inflated, state.ekf.cov)
     ekf = state.ekf._replace(cam=cam, cov=cov)
+    # DRIFT WATCHDOG (r5 soak): a BA disagreement beyond the 3-sigma gate
+    # AND beyond hard absolute bounds means the filter's whole ray field
+    # is corrupted, not just the pose — a pose re-seed alone gets pulled
+    # back to the drifted solution within frames (observed: the focal
+    # runaway doubles every ~3 frames once established). Declare LOST:
+    # the relocalization path re-initializes filter + slots against the
+    # ANCHORED map, which recovers to sub-pixel focal error (probed).
+    # The just-inserted keyframe's pose was already BA-corrected above.
+    watchdog = drifted & (
+        (jnp.abs(delta[2]) > 30.0)
+        | (jnp.abs(delta[0]) > 5e-3)
+        | (jnp.abs(delta[1]) > 5e-3)
+    )
     return state._replace(
         kf=kf._replace(poses=new_poses),
         rays=state.rays._replace(rays=new_rays),
         ekf=ekf,
+        lost=state.lost | watchdog,
     )
 
 
