@@ -411,15 +411,28 @@ def update(
     rms = jnp.sqrt(
         jnp.sum(innov**2) / jnp.maximum(1.0, 2.0 * num_used.astype(jnp.float32))
     )
-    finite = jnp.isfinite(cam).all() & jnp.isfinite(dg).all()
+    # a non-finite posterior (rare fp blowout under stress) becomes a
+    # ONE-FRAME NO-OP: keep the finite predicted state, flag lost so the
+    # caller relocalizes — never let NaN into the carried state, the map,
+    # or (via the live-focal descriptor scale) the frontend
+    finite = (
+        jnp.isfinite(cam).all()
+        & jnp.isfinite(dg).all()
+        & jnp.isfinite(rays).all()
+    )
+    cam = jnp.where(finite, cam, state.cam)
+    rays = jnp.where(finite, rays, state.rays)
+    cov = jnp.where(finite, cov, state.cov)
     stats = UpdateStats(
         num_used=num_used,
         num_observed=num_obs,
         innovation_rms=rms,
         lost=(num_used < cfg.min_inliers) | ~finite,
-        used_mask=used,
+        used_mask=used & finite,
     )
-    missed = jnp.where(used, 0, state.missed + state.active.astype(jnp.int32))
+    missed = jnp.where(
+        stats.used_mask, 0, state.missed + state.active.astype(jnp.int32)
+    )
     return state._replace(cam=cam, rays=rays, cov=cov, missed=missed), stats
 
 

@@ -822,9 +822,22 @@ def _run_segment_pixels(
             img, mask, ok = frame
 
         def do(_):
+            # sanitized focal for descriptor scaling: after a numerical
+            # blowout the pose can be non-finite for a frame or two — a
+            # NaN focal would NaN every descriptor and make even
+            # RELOCALIZATION impossible (r5 soak: one NaN frame => 4k
+            # permanently-lost frames). Fall back to the bootstrap f_ref.
+            f_est = s.ekf.pose[2]
+            f_safe = jnp.where(
+                jnp.isfinite(f_est) & (f_est > 1.0), f_est,
+                jnp.asarray(
+                    cfg.descriptor_f_ref if cfg.descriptor_f_ref > 0
+                    else 1000.0,
+                    jnp.float32,
+                ),
+            )
             xy, desc, valid = extract_features(
-                img, cfg, mask=mask, use_pallas=use_pallas,
-                focal=s.ekf.pose[2],
+                img, cfg, mask=mask, use_pallas=use_pallas, focal=f_safe,
             )
             return _frame_step(s, xy, desc, valid, cfg=cfg, intr=intr)
 
@@ -854,9 +867,18 @@ def _run_segment_pixels_klt(
             img, mask, ok = frame
 
         def do(_):
+            f_est = s.ekf.pose[2]
+            f_safe = jnp.where(
+                jnp.isfinite(f_est) & (f_est > 1.0), f_est,
+                jnp.asarray(
+                    cfg.descriptor_f_ref if cfg.descriptor_f_ref > 0
+                    else 1000.0,
+                    jnp.float32,
+                ),
+            )
             xy, desc, valid, _tracked = track_features(
                 pimg, img, pxy, pvalid, cfg, mask=mask,
-                use_pallas=use_pallas, focal=s.ekf.pose[2],
+                use_pallas=use_pallas, focal=f_safe,
             )
             s2, info = _frame_step(s, xy, desc, valid, cfg=cfg, intr=intr)
             return (s2, img, xy, valid), info
