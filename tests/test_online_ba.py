@@ -147,3 +147,38 @@ def test_reseed_gate_fires_on_biased_filter():
     err_before = bias
     err_after = abs(float(fixed.ekf.pose[0]) - float(state.ekf.pose[0]))
     assert err_after < 0.5 * err_before, (err_after, err_before)
+    # a firing re-seed must INFLATE the pose covariance: keeping the
+    # overconfident P lets the stale ray field pull the pose straight
+    # back to the drifted solution (r5 soak)
+    assert float(fixed.ekf.cov[2, 2]) > 1.0, float(fixed.ekf.cov[2, 2])
+
+
+def test_drift_watchdog_declares_lost_beyond_hard_bounds():
+    """A drift past the hard absolute bounds (the r5 watchdog: 5 mrad pan /
+    30 px focal disagreement with the windowed BA) must set the LOST flag
+    so relocalization re-initializes against the anchored map — a pose
+    re-seed alone gets undone by the corrupted ray field."""
+    import jax
+
+    from ptzjax.slam import _insert_keyframe
+
+    cfg, seq, slam, state, _, last = _tracked_state(
+        online_iters=8, return_feats=True
+    )
+
+    def insert_and_ba(s):
+        s = _insert_keyframe(
+            s, jnp.asarray(last.xy), jnp.asarray(last.desc),
+            jnp.asarray(last.valid), cfg=cfg, intr=seq.intr,
+        )
+        return _windowed_ba(s, cfg=cfg, intr=seq.intr)
+
+    run_ba = jax.jit(insert_and_ba)
+    assert not bool(run_ba(state).lost)  # healthy: no watchdog
+
+    # pan drifted 10 mrad (beyond the 5 mrad hard bound), overconfident P
+    drifted = state._replace(
+        ekf=state.ekf._replace(cam=state.ekf.cam.at[0].add(1e-2))
+    )
+    out = run_ba(drifted)
+    assert bool(out.lost), "watchdog must declare LOST past hard bounds"
