@@ -44,19 +44,22 @@ from ptzjax.geometry import Intrinsics, back_project_pixels, project_jacobians
 # (1-pass bf16): it destroys the SPD structure of S = H P H^T + R and NaNs
 # the Cholesky (observed on v5e; CPU was fine). Two tiers are used:
 #
-#   _mm  (HIGHEST, ~fp32): everything feeding the Cholesky (the S build's
-#        matmuls all have a 3-long contraction axis — they cost nothing)
-#        and the rare insertion/clear paths.
-#   _mmh (HIGH, bf16x3, rel err ~4e-5): the gain and Joseph-form products,
-#        the big (D,2N)x(2N,2N)-class matmuls. Measured on v5e: HIGHEST is
-#        21.7 us per (518,512)@(512,512) vs 2.8 us at HIGH — 6 such
-#        matmuls made precision the EKF update's second-biggest cost after
-#        the Cholesky. Safety: the Joseph form yields a CONSISTENT filter
-#        for ANY gain K (it computes the covariance OF the gain actually
-#        applied), so a 4e-5-relative gain perturbation is a 4e-5
-#        suboptimality, not an inconsistency; bench_tpu_parity gates the
-#        on-chip gain against an fp64 oracle at every bench run, and the
-#        10k-frame on-chip soak bounds accumulation drift.
+#   _mm  (HIGHEST, ~fp32): everything whose product lands in the
+#        covariance P (Joseph form, K H, K R K^T) or feeds the Cholesky.
+#        The state is heterogeneous (focal variance in px^2 ~1e2 vs
+#        converged angle variances ~1e-6 rad^2, cond(P) ~ 1e8): bf16x3's
+#        ~4e-5 RELATIVE error couples large-scale entries into small-
+#        scale ones and destroys SPD after tens of frames (observed NaN
+#        on chip ~frame 80 with a HIGH Joseph form).
+#   _mmh (HIGH, bf16x3, rel err ~4e-5): the GAIN path only — K and the
+#        triangular-inverse products feeding it. Measured on v5e:
+#        HIGHEST is 21.7 us per (518,512)@(512,512) vs 2.8 us at HIGH.
+#        Safety: the Joseph form yields a CONSISTENT filter for ANY gain
+#        K (it computes the covariance OF the gain actually applied), so
+#        a ~1e-4-relative gain perturbation is suboptimality, not
+#        inconsistency; bench_tpu_parity gates the on-chip update against
+#        an fp64 oracle every bench run, and the 10k-frame on-chip soak
+#        bounds accumulation drift.
 _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 _mmh = partial(jnp.matmul, precision=jax.lax.Precision.HIGH)
 
